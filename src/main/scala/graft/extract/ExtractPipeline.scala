@@ -1,0 +1,84 @@
+package graft.extract
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conversion result carried per row (C12 error capture). Top-level so
+  * Catalyst codegen can construct/read it without reflection fallback.
+  */
+final case class ExtractOut(status: String, markdown: String, error: String)
+
+/** The conversion core wired into Spark (SURVEY.md §2.2, §3.1).
+  *
+  * Per-turn kernel (pure, Spark-free): C1 parse → C2 header histogram
+  * (kernel-local — each turn embeds one document, so the
+  * aggregate-then-rescan shuffle of a corpus-wide histogram is not
+  * needed; SURVEY.md §7.4) → C3 reading order → C4–C10 markdown emit →
+  * C11 lint normalize. Error capture per row (C12): a failing payload
+  * yields `status='err'` + the message, never a failed task (mirrors
+  * /root/reference/src/pdf_extractor/converter.py:234-242).
+  *
+  * Spark wiring: one narrow projection over the transcripts scan — the
+  * whole conversion is map-side (no shuffle). At 100 TB the only
+  * exchange in the job is whatever the sink requires; scaling is
+  * embarrassingly parallel over input splits.
+  */
+object ExtractPipeline {
+
+  /** Pure kernel: one turn's payload → normalized markdown. */
+  def extract(payload: String): String = {
+    val blocks = BlockParser.parse(payload)
+    if (blocks.isEmpty) return ""
+    val headerMap = Headers.identify(blocks)
+    val ordered = ReadingOrder.order(blocks)
+    val elements = MarkdownEmitter.emit(ordered, headerMap)
+    LintNormalize.normalize(elements.mkString("\n\n"))
+  }
+
+  /** C12 wrapper: (status, markdown-or-empty, error-or-empty). */
+  def extractSafe(payload: String): (String, String, String) =
+    try {
+      val md = extract(payload)
+      if (payload == null || payload.isEmpty) ("err", "", "empty input")
+      else ("ok", md, "")
+    } catch {
+      case e: Exception => ("err", "", String.valueOf(e.getMessage))
+    }
+
+  /** Shared conversion UDF: payload → (status, markdown, error).
+    * Codegen-friendly (top-level case class result).
+    */
+  private val extractUdf = udf { payload: String =>
+    val (s, md, e) = extractSafe(payload)
+    ExtractOut(s, md, e)
+  }
+
+  /** transcripts(conv_id, turn_idx, role, text, tool, ts) →
+    * (conv_id, turn_idx, status, markdown, error). Map-side only.
+    */
+  def overTranscripts(transcripts: DataFrame): DataFrame = {
+    transcripts
+      .withColumn("_x", extractUdf(col("text")))
+      .select(col("conv_id"), col("turn_idx"),
+        col("_x.status").as("status"),
+        col("_x.markdown").as("markdown"),
+        col("_x.error").as("error"))
+  }
+
+  /** documents(doc_id, text, …) → (doc_id, status, markdown, error). */
+  def overDocuments(documents: DataFrame): DataFrame = {
+    documents
+      .withColumn("_x", extractUdf(col("text")))
+      .select(col("doc_id"),
+        col("_x.status").as("status"),
+        col("_x.markdown").as("markdown"),
+        col("_x.error").as("error"))
+  }
+
+  /** C13 — batch summary fold (converter.py:276-293). */
+  def summary(extracted: DataFrame): DataFrame =
+    extracted.agg(
+      count(when(col("status") === "ok", 1)).as("successful"),
+      count(when(col("status") === "err", 1)).as("failed"),
+      count(lit(1)).as("total"))
+}

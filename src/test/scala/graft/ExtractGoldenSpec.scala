@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract._
+import graft.gen.TranscriptGen
+
+/** Per-turn text equality of the extraction kernel vs the golden
+  * renderer (FIXTURES.md §3) — the inverse-check core of the
+  * north-rule correctness gate, here exercised Spark-free so failures
+  * localize to the kernel.
+  */
+class ExtractGoldenSpec extends AnyFunSuite {
+
+  test("kernel markdown equals golden for 100 seeded conversations") {
+    var turns = 0
+    var mismatches = 0
+    (0L until 100L).foreach { convIdx =>
+      val (ts, gs) = TranscriptGen.genConv(42L, convIdx)
+      ts.zip(gs).foreach { case (t, g) =>
+        turns += 1
+        val got = ExtractPipeline.extract(t.text)
+        if (got != g.markdown) {
+          mismatches += 1
+          if (mismatches <= 3) {
+            info(s"MISMATCH conv=${t.conv_id} turn=${t.turn_idx} role=${t.role}")
+            info("--- payload ---\n" + t.text.take(800))
+            info("--- expected ---\n" + g.markdown.take(800))
+            info("--- got ---\n" + got.take(800))
+          }
+        }
+      }
+    }
+    assert(mismatches == 0, s"$mismatches of $turns turns mismatched")
+    assert(turns > 500)
+  }
+
+  test("plain single-line text passes through as one paragraph") {
+    assert(ExtractPipeline.extract("hello world") == "hello world\n")
+  }
+
+  test("empty payload yields empty markdown") {
+    assert(ExtractPipeline.extract("") == "")
+  }
+
+  test("error capture never throws") {
+    val (s, _, _) = ExtractPipeline.extractSafe(null)
+    assert(s == "err")
+  }
+
+  test("lint normalize collapses blank runs and trailing space") {
+    assert(LintNormalize.normalize("a  \n\n\n\nb\n\n") == "a\n\nb\n")
+  }
+
+  test("header histogram ranks sizes above body descending") {
+    val blocks = Vector(
+      Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 10.0, 0, "", 0, "x" * 100, 0),
+      Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 18.0, 0, "", 0, "t1", 1),
+      Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 14.0, 0, "", 0, "t2", 2))
+    val m = Headers.identify(blocks)
+    assert(m == Map(18.0 -> 1, 14.0 -> 2))
+  }
+
+  test("reading order: two columns read left column first") {
+    def b(x0: Double, y0: Double, seq: Int, t: String) =
+      Block(BlockKind.Pdf, 0, x0, y0, x0 + 100, y0 + 10, 10.0, 0, "", 0, t, seq)
+    val blocks = Vector(b(300, 50, 0, "R1"), b(50, 60, 1, "L2"),
+      b(50, 50, 2, "L1"), b(300, 60, 3, "R2"))
+    val ordered = ReadingOrder.order(blocks).map(_.text)
+    assert(ordered == Vector("L1", "L2", "R1", "R2"))
+  }
+
+  test("boilerplate: nav/footer and link-dense blocks are dropped") {
+    def h(path: String, lc: Int, t: String) =
+      Block(BlockKind.Html, 0, 0, 0, 0, 0, 0, 0, path, lc, t, 0)
+    assert(Boilerplate.isBoilerplate(h("body/nav/a", 20, "home docs api blog")))
+    assert(Boilerplate.isBoilerplate(h("body/div/a", 40, "a" * 60)))
+    assert(!Boilerplate.isBoilerplate(h("body/article/p", 0, "real content here")))
+  }
+}

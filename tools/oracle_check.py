@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev harness only —
+the Spark library has no Python dependency). Usage:
+
+    python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: load the result parquet, run the
+oracle SQL in DuckDB against the same sfDir tables, sort columns by
+name, sort rows, and hash-compare values.
+"""
+import sys, json, glob, os
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(v)
+            vals.append(str(v))
+        out.append("\x1f".join(vals))
+    out.sort()
+    return "\x1e".join(out)
+
+def main(sf_dir, out_dir):
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(t)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+    failures = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        q = os.path.basename(qdir)
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        if q not in oracle:
+            print(f"[rows-only] {q}: {len(grows)} rows")
+            continue
+        exp = con.sql(oracle[q])
+        ecols = [d[0] for d in exp.description]
+        erows = exp.fetchall()
+        ok_schema = sorted(gcols) == sorted(ecols)
+        ok_rows = len(grows) == len(erows)
+        ok_hash = ok_schema and ok_rows and canon(grows, gcols) == canon(erows, ecols)
+        status = "OK" if ok_hash else "FAIL"
+        if not ok_hash:
+            failures += 1
+            print(f"[{status}] {q}: schema={ok_schema} ({sorted(gcols)} vs {sorted(ecols)}) rows={len(grows)}/{len(erows)}")
+            if ok_schema and ok_rows:
+                # show first differing row pair
+                g = sorted(canon(grows, gcols).split("\x1e"))
+                e = sorted(canon(erows, ecols).split("\x1e"))
+                for a, b in zip(g, e):
+                    if a != b:
+                        print("  got:", a[:300])
+                        print("  exp:", b[:300])
+                        break
+        else:
+            print(f"[OK] {q}: {len(grows)} rows")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
