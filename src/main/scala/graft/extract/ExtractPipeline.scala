@@ -54,15 +54,19 @@ object ExtractPipeline {
   }
 
   /** transcripts(conv_id, turn_idx, role, text, tool, ts) →
-    * (conv_id, turn_idx, status, markdown, error). Map-side only.
+    * (conv_id, turn_idx [, partition_id], status, markdown, error).
+    * Map-side only; a partition_id column, if present, is passed
+    * through so the manifest path needs no re-join.
     */
   def overTranscripts(transcripts: DataFrame): DataFrame = {
+    val keep = Seq("conv_id", "turn_idx") ++
+      (if (transcripts.columns.contains("partition_id")) Seq("partition_id") else Nil)
     transcripts
       .withColumn("_x", extractUdf(col("text")))
-      .select(col("conv_id"), col("turn_idx"),
+      .select(keep.map(col) ++ Seq(
         col("_x.status").as("status"),
         col("_x.markdown").as("markdown"),
-        col("_x.error").as("error"))
+        col("_x.error").as("error")): _*)
   }
 
   /** documents(doc_id, text, …) → (doc_id, status, markdown, error). */

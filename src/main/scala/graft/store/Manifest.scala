@@ -1,0 +1,109 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.ExtractPipeline
+
+/** S10 — per-partition checkpoint, lineage + metrics manifest, exact
+  * resume (north rule; SURVEY.md §2.1 S10, §7.1).
+  *
+  * The north star stores this in an Iceberg manifest table; no Iceberg
+  * runtime ships in this sandbox (/opt/spark/jars has none), so the
+  * same contract is realized as partitioned parquet + an explicit
+  * manifest table:
+  *
+  *   manifest(partition_id int, status string, rows_in long,
+  *            rows_out long, ok_rows long, err_rows long,
+  *            started_ts timestamp, finished_ts timestamp, attempt int)
+  *
+  * Work unit = hash partition `pmod(xxhash64(conv_id), numPartitions)`.
+  * Commit protocol per batch of partitions:
+  *   1. write extracted rows partitionBy(partition_id), dynamic
+  *      partition overwrite → idempotent re-run of any partition;
+  *   2. append one manifest row per completed partition (status=done).
+  * Resume = left_anti join of the partition domain against
+  * `manifest.status='done'` — exactly the not-yet-committed work,
+  * regardless of where the previous run died. A partition that was
+  * written but whose manifest append was lost is simply rewritten
+  * (overwrite ⇒ same bytes, exactly-once output semantics).
+  *
+  * At cluster scale the same protocol holds per real executor fleet:
+  * the manifest append is the only serial point and is O(partitions),
+  * not O(rows).
+  */
+object Manifest {
+
+  def partitionId(numPartitions: Int) =
+    pmod(xxhash64(col("conv_id")), lit(numPartitions.toLong)).cast("int")
+
+  def load(spark: SparkSession, manifestDir: String): DataFrame = {
+    val p = new java.io.File(manifestDir)
+    if (p.exists() && p.listFiles() != null && p.listFiles().nonEmpty)
+      spark.read.parquet(manifestDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "partition_id int, status string, rows_in long, rows_out long, " +
+            "ok_rows long, err_rows long, started_ts timestamp, " +
+            "finished_ts timestamp, attempt int"))
+  }
+
+  /** Partitions still to do: domain \ done (left_anti). */
+  def pending(spark: SparkSession, numPartitions: Int, manifest: DataFrame): DataFrame = {
+    import spark.implicits._
+    val domain = spark.range(numPartitions).select($"id".cast("int").as("partition_id"))
+    val done = manifest.filter(col("status") === "done").select("partition_id")
+    domain.join(done, Seq("partition_id"), "left_anti")
+  }
+
+  /** Run extraction over the pending partitions only, committing in
+    * batches of `partitionsPerCommit` (the kill/resume granularity).
+    * Returns number of partitions processed this invocation.
+    */
+  def runResumable(spark: SparkSession, transcripts: DataFrame, outDir: String,
+      manifestDir: String, numPartitions: Int,
+      partitionsPerCommit: Int = Int.MaxValue,
+      maxBatches: Int = Int.MaxValue): Int = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val withPid = transcripts.withColumn("partition_id", partitionId(numPartitions))
+    var processed = 0
+    var batches = 0
+    while (batches < maxBatches) {
+      val manifest = load(spark, manifestDir)
+      val todo = pending(spark, numPartitions, manifest)
+        .orderBy("partition_id").limit(partitionsPerCommit)
+        .collect().map(_.getInt(0))
+      if (todo.isEmpty) return processed
+      val started = new java.sql.Timestamp(System.currentTimeMillis())
+      val attempt = 1 + manifest.filter(col("partition_id").isin(todo: _*))
+        .agg(coalesce(max("attempt"), lit(0))).collect()(0).getInt(0)
+
+      val batch = withPid.filter(col("partition_id").isin(todo: _*))
+      val extracted = ExtractPipeline.overTranscripts(
+        batch.select("conv_id", "turn_idx", "partition_id", "text"))
+      // 1. data commit (idempotent: dynamic overwrite by partition)
+      extracted.write.mode(SaveMode.Overwrite)
+        .partitionBy("partition_id").parquet(outDir)
+      // 2. manifest commit (lineage + metrics per partition)
+      val finished = new java.sql.Timestamp(System.currentTimeMillis())
+      val metrics = spark.read.parquet(outDir)
+        .filter(col("partition_id").isin(todo: _*))
+        .groupBy("partition_id").agg(
+          count(lit(1)).as("rows_in"),
+          count(lit(1)).as("rows_out"),
+          count(when(col("status") === "ok", 1)).as("ok_rows"),
+          count(when(col("status") === "err", 1)).as("err_rows"))
+        .withColumn("status", lit("done"))
+        .withColumn("started_ts", lit(started))
+        .withColumn("finished_ts", lit(finished))
+        .withColumn("attempt", lit(attempt))
+        .select("partition_id", "status", "rows_in", "rows_out", "ok_rows",
+          "err_rows", "started_ts", "finished_ts", "attempt")
+      metrics.write.mode(SaveMode.Append).parquet(manifestDir)
+      processed += todo.length
+      batches += 1
+    }
+    processed
+  }
+}
