@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.chunk.{ChunkOps, Tokenizer}
 import graft.extract.ExtractPipeline
 import graft.gen.TranscriptGen
+import graft.rag.{AnnLsh, Confidence, HashEmbedder, TopK}
 import graft.store.{Ids, StoreOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,7 +84,23 @@ object SparkEntry {
         .withColumn("partition_id", pmod(col("doc_id"), lit(16)).cast("int"))
         .join(done, Seq("partition_id"), "left_anti")
         .select("doc_id")
-    })
+    }),
+
+    // ---- retrieval V1–V4, V10 ----
+    "embed_docs" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        HashEmbedder.embedding(col("text")).as("embedding"))),
+    "search_topk" -> ((s, dir) =>
+      TopK.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 20)
+        .select("vec_id", "score")),
+    "ann_lsh" -> ((s, dir) =>
+      AnnLsh.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 10)
+        .select("vec_id", "score")),
+    "confidence" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Confidence.perRow(col("text"), Queries.RagQuery).as("confidence"))),
+    "rag_query" -> ((s, dir) => Queries.ragQuery(s, dir)),
+    "embed_neardup" -> ((s, dir) => Queries.embedNearDup(s, dir, 0.4))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,11 +160,122 @@ object SparkEntry {
       "SELECT count(*) AS n FROM documents",
     "resume_pending" ->
       "SELECT doc_id FROM documents WHERE doc_id % 16 >= 10"
+  ) ++ OracleSql.retrieval
+}
+
+/** DuckDB oracle SQL for the retrieval operators — built from the same
+  * constants (token regex, LSH planes) as the Spark side, and the same
+  * strict left-fold arithmetic so doubles compare bit-exactly.
+  */
+object OracleSql {
+  import graft.rag.AnnLsh
+
+  private def dot(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (a,b) -> a+b)"
+  private def nrm(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x*x), (a,b) -> a+b))"
+  private val scoreCase =
+    "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(na*nb) END"
+
+  /** scored embeddings vs the vec_id=0 query vector */
+  private val scoredCte =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT vec_id, ${dot("embedding::DOUBLE[]", "(SELECT qe FROM q)")} AS dot,
+       |  ${nrm("embedding::DOUBLE[]")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb
+       |  FROM embeddings)""".stripMargin
+
+  private val relevantCase =
+    "CASE WHEN contains(lower(text),'spark') OR contains(lower(text),'join') " +
+      "OR contains(lower(text),'performance') THEN 1 ELSE 0 END"
+
+  val retrieval: Map[String, String] = Map(
+    "embed_docs" ->
+      (s"""SELECT doc_id, CASE WHEN nrm = 0 THEN raw ELSE list_transform(raw, x -> x/nrm) END AS embedding
+         |FROM (SELECT doc_id, raw, ${nrm("raw")} AS nrm
+         |  FROM (SELECT doc_id, list_transform(range(0, 64), d ->
+         |      list_reduce(list_prepend(0, list_transform(hashed,
+         |        h -> CASE WHEN h % 64 = d THEN (CASE WHEN (h >> 6) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)),
+         |        (a,b) -> a+b))::DOUBLE[] AS raw
+         |    FROM (SELECT doc_id, list_transform(
+         |        regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}'),
+         |        t -> CAST('0x'||substr(sha256(t),1,15) AS BIGINT)) AS hashed
+         |      FROM documents)))""".stripMargin),
+    "search_topk" ->
+      (scoredCte +
+        s"\nSELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 20"),
+    "ann_lsh" ->
+      (s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${AnnLsh.sqlBucketExpr("embedding::DOUBLE[]")} =
+         |        (SELECT ${AnnLsh.sqlBucketExpr("qe")} FROM q)),
+         |s AS (SELECT vec_id, ${dot("embedding::DOUBLE[]", "(SELECT qe FROM q)")} AS dot,
+         |  ${nrm("embedding::DOUBLE[]")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb FROM c)
+         |SELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    "confidence" ->
+      ("SELECT doc_id, least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), " +
+        "(CAST(0.2 AS DOUBLE) + least(CAST(1.0 AS DOUBLE), length(text)/CAST(1000.0 AS DOUBLE)) + " +
+        s"(CASE WHEN $relevantCase = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) " +
+        "/ CAST(3.0 AS DOUBLE))) AS confidence FROM documents"),
+    "rag_query" ->
+      (scoredCte +
+        s""",
+         |top5 AS (SELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 5)
+         |SELECT count(*) AS n_chunks,
+         |  least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+         |    (least(CAST(1.0 AS DOUBLE), count(*) * CAST(0.2 AS DOUBLE)) +
+         |     least(CAST(1.0 AS DOUBLE), sum(length(text))/CAST(1000.0 AS DOUBLE)) +
+         |     least(CAST(1.0 AS DOUBLE), sum($relevantCase) / CAST(count(*) AS DOUBLE)))
+         |    / CAST(3.0 AS DOUBLE))) AS confidence
+         |FROM top5 JOIN documents ON top5.vec_id = documents.doc_id""".stripMargin),
+    "embed_neardup" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${dot("a.v", "b.v")} AS dot,
+         |  ${nrm("a.v")} AS na, ${nrm("b.v")} AS nb
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT a_id, b_id FROM p WHERE ($scoreCase) >= CAST(0.4 AS DOUBLE)""".stripMargin)
   )
 }
 
 /** Query implementations too large for inline lambdas. */
 object Queries {
+
+  /** the fixed RAG question used by confidence/rag_query oracles */
+  val RagQuery = "spark join performance"
+
+  /** query vector = embedding of vec_id 0, as doubles (the reference
+    * embeds the query text; here the query arrives pre-embedded —
+    * vector_store.py:151-179 search_with_embedding).
+    */
+  def queryVec(s: SparkSession, dir: String): Array[Double] =
+    SparkEntry.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  /** V10 — retrieval half of the query pipeline + deterministic
+    * confidence over the retrieved context (LLM stubbed; SURVEY §2.4).
+    */
+  def ragQuery(s: SparkSession, dir: String): DataFrame = {
+    val top = graft.rag.TopK.search(
+      SparkEntry.embeddings(s, dir), queryVec(s, dir), k = 5).select("vec_id")
+    val ctx = top.join(SparkEntry.docs(s, dir),
+      col("vec_id") === col("doc_id"))
+    graft.rag.Confidence.overChunks(ctx, "text", RagQuery)
+  }
+
+  /** Embedding-cosine near-duplicate pairs. Brute-force O(n²) pair
+    * join is correct at oracle scale; the documented scale path is
+    * AnnLsh bucketing first (join on bucket, then exact cosine within
+    * bucket) — same output for thresholds above the bucket recall.
+    */
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val e = SparkEntry.embeddings(s, dir)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val f = SparkEntry.embeddings(s, dir)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    e.join(f, col("a_id") < col("b_id"))
+      .filter(graft.rag.Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select("a_id", "b_id")
+  }
 
   /** North-rule correctness gate: distributed fixture generation →
     * extraction → equality join vs golden (FIXTURES.md §3). Output:

@@ -1,0 +1,67 @@
+package graft.rag
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.chunk.Tokenizer
+
+/** V1 — deterministic hashing-trick embedder (SURVEY.md §7.4).
+  *
+  * The reference embeds with all-MiniLM-L6-v2
+  * (/root/reference/src/rag_engine/embeddings.py:19) — an external
+  * neural model. For a hermetic engine the embedding map is replaced
+  * by the public feature-hashing trick (Weinberger et al., ICML 2009):
+  * each token hashes (sha256-derived, seed-free and engine-portable)
+  * to one of `dim` buckets with a ±1 sign bit; the bucket-count vector
+  * is L2-normalized. The V1–V4 contract (fixed-dim float vector,
+  * cosine geometry) is unchanged.
+  *
+  * Implemented as pure Column expressions: token hash h = first 60
+  * bits of sha256(token); bucket = h mod dim; sign = (h >> 6) odd ?
+  * -1 : +1. Integer accumulation is exact, so the result is
+  * bit-reproducible across Spark and the DuckDB oracle.
+  */
+object HashEmbedder {
+
+  val Dim = 64
+
+  /** tokens(text) as an array column — same token basis as Tokenizer. */
+  def tokensCol(text: Column): Column =
+    regexp_extract_all(text, lit(Tokenizer.TokenRegex), lit(0))
+
+  /** 60-bit token hash from sha256 hex (conv is exact below 2^63). */
+  def tokenHash(tok: Column): Column =
+    conv(substring(sha2(tok, 256), 1, 15), 16, 10).cast("long")
+
+  /** raw integer histogram: Σ ±1 per bucket. */
+  def rawEmbedding(text: Column, dim: Int = Dim): Column = {
+    val hashed = transform(tokensCol(text), tokenHash _)
+    transform(sequence(lit(0), lit(dim - 1)), d =>
+      aggregate(hashed, lit(0L), (acc, h) =>
+        acc + when(pmod(h, lit(dim.toLong)) === d.cast("long"),
+          when(pmod(shiftright(h, 6), lit(2L)) === 0L, 1L).otherwise(-1L))
+          .otherwise(0L)))
+  }
+
+  /** L2-normalized double vector; zero-norm stays all-zero. */
+  def embedding(text: Column, dim: Int = Dim): Column = {
+    val raw = rawEmbedding(text, dim).cast("array<double>")
+    val n = Similarity.norm(raw)
+    when(n === 0.0, raw).otherwise(transform(raw, x => x / n))
+  }
+
+  // ---- pure JVM twin (kernel/tests, and query-vector embedding) ----
+
+  def embed(text: String, dim: Int = Dim): Array[Double] = {
+    val raw = new Array[Long](dim)
+    Tokenizer.tokenize(text).foreach { t =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.text.getBytes("UTF-8"))
+      val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val b = (h % dim).toInt
+      raw(b) += (if (((h >> 6) % 2) == 0) 1L else -1L)
+    }
+    val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+    if (n == 0.0) raw.map(_.toDouble) else raw.map(_ / n)
+  }
+}
