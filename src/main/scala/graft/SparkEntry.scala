@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.chunk.{ChunkOps, Tokenizer}
 import graft.extract.ExtractPipeline
 import graft.gen.TranscriptGen
+import graft.multimodal.Multimodal
 import graft.rag.{AnnLsh, Confidence, HashEmbedder, TopK}
 import graft.store.{Ids, StoreOps}
+import graft.text.{Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,7 +102,22 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         Confidence.perRow(col("text"), Queries.RagQuery).as("confidence"))),
     "rag_query" -> ((s, dir) => Queries.ragQuery(s, dir)),
-    "embed_neardup" -> ((s, dir) => Queries.embedNearDup(s, dir, 0.4))
+    "embed_neardup" -> ((s, dir) => Queries.embedNearDup(s, dir, 0.4)),
+
+    // ---- training-data pipeline: dedup / text analysis / multimodal ----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+    "dedup_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhashCol(col("text")).as("simhash"))),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+    "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir), "doc_id", "text")),
+    "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
+    "fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
+    "mm_meta" -> ((s, dir) => Multimodal.decodeMeta(docs(s, dir)).toDF())
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,7 +177,7 @@ object SparkEntry {
       "SELECT count(*) AS n FROM documents",
     "resume_pending" ->
       "SELECT doc_id FROM documents WHERE doc_id % 16 >= 10"
-  ) ++ OracleSql.retrieval
+  ) ++ OracleSql.retrieval ++ OracleSql.textOps
 }
 
 /** DuckDB oracle SQL for the retrieval operators — built from the same
@@ -233,6 +250,87 @@ object OracleSql {
          |  ${nrm("a.v")} AS na, ${nrm("b.v")} AS nb
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT a_id, b_id FROM p WHERE ($scoreCase) >= CAST(0.4 AS DOUBLE)""".stripMargin)
+  )
+
+  // ---- training-data ops ----
+
+  private val sqlWords = "regexp_extract_all(text, '[A-Za-z0-9]+')"
+  private def sqlHash(e: String) =
+    s"CAST('0x'||substr(sha256($e),1,15) AS BIGINT)"
+  private val simhashCte =
+    s"""WITH w AS (SELECT doc_id, list_transform($sqlWords, t -> ${sqlHash("t")}) AS hs FROM documents),
+       |sims AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0,60), b ->
+       |  CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
+       |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), (a,c) -> a+c) > 0
+       |  THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (a,c) -> a+c) AS simhash FROM w)""".stripMargin
+
+  private def stopHits(name: String, list: Seq[String]) =
+    s"len(list_filter(ws, x -> list_contains(${list.mkString("['", "','", "']")}, x))) AS ${name}_hits"
+
+  val textOps: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
+    "dedup_minhash" ->
+      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
+         |sig AS (SELECT doc_id, list_transform(range(0,16), i -> list_min(list_transform(s, x -> ${sqlHash("i||'|'||x")}))) AS sg FROM sh),
+         |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
+         |  FROM sig, (SELECT unnest(range(0,4)) AS bi))
+         |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin),
+    "dedup_simhash" ->
+      (simhashCte + "\nSELECT doc_id, simhash FROM sims"),
+    "simhash_pairs" ->
+      (simhashCte +
+        """
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.simhash, b.simhash)) AS hamming
+          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+    "ngram_jaccard" ->
+      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s FROM w WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, common / (sa.n + sb.n - common)::DOUBLE AS jaccard
+         |FROM common JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE common / (sa.n + sb.n - common)::DOUBLE >= 0.5""".stripMargin),
+    "lang_id" ->
+      (s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  ${graft.text.TextOps.Stopwords.map { case (l, ws) => stopHits(l, ws) }.mkString(", ")}
+         |  FROM (SELECT doc_id, list_transform($sqlWords, x -> lower(x)) AS ws FROM documents))""".stripMargin),
+    "quality_score" ->
+      (s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+         |  (least(1.0::DOUBLE, n_tokens/50.0::DOUBLE) +
+         |   (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio*10.0::DOUBLE)) +
+         |   least(1.0::DOUBLE, stopword_ratio*5.0::DOUBLE) +
+         |   least(1.0::DOUBLE, mean_word_len/8.0::DOUBLE)) / 4.0::DOUBLE AS quality
+         |FROM (SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         |  len(list_filter(list_transform($sqlWords, x -> lower(x)),
+         |    x -> list_contains(${graft.text.TextOps.Stopwords.head._2.mkString("['", "','", "']")}, x)))
+         |    / greatest(len($sqlWords), 1)::DOUBLE AS stopword_ratio,
+         |  list_reduce(list_prepend(0, list_transform($sqlWords, x -> length(x))), (a,b) -> a+b)
+         |    / greatest(len($sqlWords), 1)::DOUBLE AS mean_word_len
+         |  FROM documents)""".stripMargin),
+    "fingerprint" ->
+      (s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($sqlWords, " +
+        s"w -> ${sqlHash("w")} % 1000003)), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint " +
+        "FROM documents"),
+    "mm_meta" ->
+      ("""SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS digest,
+         |  1 + (CAST('0x'||substr(sha256(text),1,2) AS INT) << 2) AS width,
+         |  1 + (CAST('0x'||substr(sha256(text),3,2) AS INT) << 2) AS height,
+         |  octet_length(encode(text)) // 100 + 1 AS n_frames,
+         |  list_transform(range(0, least(octet_length(encode(text)) // 100 + 1, 5)), i -> i*100) AS frame_offsets
+         |FROM documents""".stripMargin)
   )
 }
 

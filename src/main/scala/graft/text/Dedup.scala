@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rag.HashEmbedder
+
+/** Deduplication operators for a training-data pipeline — exact,
+  * MinHash+LSH (Broder 1997 resemblance sketch; banding per the
+  * standard LSH construction), SimHash (Charikar 2002, as used in
+  * Manku et al., WWW 2007 for web dedup), and exact n-gram Jaccard.
+  *
+  * Everything is Column-expression only (whole-stage codegen, no UDF),
+  * with sha256-derived hashes so the DuckDB oracle can reproduce
+  * results bit-for-bit.
+  *
+  * Scale notes (100 TB): exact dedup is one hash aggregate on the
+  * digest (map-side combine, shuffle is digest+ids only, never text).
+  * MinHash pairs shuffle only (band_key → doc_id) tuples — the classic
+  * inverted-index join; candidate verification happens after the
+  * band-bucket blocking, never all-pairs. SimHash pair join at full
+  * scale keys on rotated hash prefixes (Manku); here the corpus is
+  * small enough for the direct pair join, and the prefix-blocking path
+  * is the same join with a coarser key.
+  */
+object Dedup {
+
+  val WordRegex = "[A-Za-z0-9]+"
+
+  def wordsCol(text: Column): Column =
+    regexp_extract_all(text, lit(WordRegex), lit(0))
+
+  /** word 3-shingles, as strings (empty array below 3 words —
+    * `sequence` would DESCEND on a negative span, so guard explicitly)
+    */
+  def shinglesCol(text: Column): Column = {
+    val w = wordsCol(text)
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 60-bit seeded shingle hash (seed folded into the sha input). */
+  def seededHash(seed: Column, s: Column): Column =
+    conv(substring(sha2(concat_ws("|", seed, s), 256), 1, 15), 16, 10)
+      .cast("long")
+
+  // ---- exact ----
+
+  /** groups by content digest; shuffle carries (digest, id) only. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- minhash + banded LSH ----
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** MinHash signature: sig[i] = min over shingles of hash_i. */
+  def signatureCol(text: Column): Column = {
+    val sh = shinglesCol(text)
+    val hashed = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(sh, s => seededHash(i, s))))
+    hashed
+  }
+
+  /** candidate pairs: same (band, band_key) bucket for any band. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = docs
+      .filter(size(wordsCol(col(textCol))) >= 3)
+      .select(col(idCol).as("id"), signatureCol(col(textCol)).as("sig"))
+    val bands = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws(",", slice(col("sig"), b * lit(RowsPerBand) + 1,
+            lit(RowsPerBand))).as("key")))).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val a = bands.select(col("id").as("a_id"), col("band"), col("key"))
+    val b = bands.select(col("id").as("b_id"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  // ---- simhash ----
+
+  val SimBits = 60
+
+  /** 60-bit SimHash over word tokens: bit b set iff the ±1 vote sum of
+    * that bit across token hashes is positive.
+    */
+  def simhashCol(text: Column): Column = {
+    val masks = typedLit((0 until SimBits).map(b => 1L << b))
+    val hashed = transform(wordsCol(text), w => HashEmbedder.tokenHash(w))
+    aggregate(sequence(lit(0), lit(SimBits - 1)), lit(0L), (acc, bIdx) => {
+      val mask = element_at(masks, bIdx.cast("int") + 1)
+      val vote = aggregate(hashed, lit(0L), (a2, h) =>
+        a2 + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      acc + when(vote > 0L, mask).otherwise(0L)
+    })
+  }
+
+  /** near-dup pairs by Hamming distance on SimHash. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val s = docs.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
+    val a = s.select(col("id").as("a_id"), col("sim").as("sa"))
+    val b = s.select(col("id").as("b_id"), col("sim").as("sb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  // ---- exact n-gram jaccard ----
+
+  /** exact Jaccard over distinct 3-shingle sets, blocked by the
+    * shared-shingle inverted index (never all-pairs).
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shinglesCol(col(textCol)))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("a_id"), col("sh"))
+    val b = sh.select(col("id").as("b_id"), col("sh"))
+    val common = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.chunk.Tokenizer
+import graft.rag.HashEmbedder
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword heuristic), quality scoring (length/punct/stopword
+  * ratios), token counting, and document fingerprinting (rolling
+  * polynomial hash). Column expressions only — every op is a narrow
+  * projection, embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** tiny per-language function-word lists (n-gram-free heuristic;
+    * ordered so ties resolve en > de > fr > es deterministically)
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "en"))
+
+  private def words(text: Column): Column =
+    transform(regexp_extract_all(text, lit(Dedup.WordRegex), lit(0)),
+      w => lower(w))
+
+  def hits(text: Column, list: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(list)))
+
+  /** argmax over stopword hits with fixed tie order. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withHits = docs.select(
+      Seq(col(idCol)) ++ Stopwords.map { case (lang, list) =>
+        hits(t, list).as(s"${lang}_hits")
+      }: _*)
+    val Seq(en, de, fr, es) = Stopwords.map(s => col(s"${s._1}_hits"))
+    withHits.withColumn("lang_pred",
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  /** quality features + a fixed blend score in [0,1]. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = size(regexp_extract_all(t, lit(Tokenizer.TokenRegex), lit(0)))
+    val nWords = size(regexp_extract_all(t, lit(Dedup.WordRegex), lit(0)))
+    val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stopHits = hits(t, Stopwords.head._2)
+    val punctRatio = nPunct / greatest(nChars, lit(1)).cast("double")
+    val stopRatio = stopHits / greatest(nWords, lit(1)).cast("double")
+    val meanWordLen =
+      aggregate(regexp_extract_all(t, lit(Dedup.WordRegex), lit(0)),
+        lit(0L), (acc, w) => acc + length(w)) /
+        greatest(nWords, lit(1)).cast("double")
+    docs.select(col(idCol),
+      nChars.as("n_chars"), nTokens.as("n_tokens"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"),
+      ((least(lit(1.0), nTokens / lit(50.0)) +
+        (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
+        least(lit(1.0), stopRatio * lit(5.0)) +
+        least(lit(1.0), meanWordLen / lit(8.0))) / lit(4.0)).as("quality"))
+  }
+
+  /** rolling polynomial fingerprint over token hashes:
+    * acc = (acc*31 + h mod 1000003) mod 1000000007 — order-sensitive,
+    * so reordered documents fingerprint differently (unlike bag
+    * hashes).
+    */
+  def fingerprint(text: Column): Column = {
+    val hashed = transform(
+      regexp_extract_all(text, lit(Dedup.WordRegex), lit(0)),
+      w => HashEmbedder.tokenHash(w))
+    aggregate(hashed, lit(0L), (acc, h) =>
+      pmod(acc * 31 + pmod(h, lit(1000003L)), lit(1000000007L)))
+  }
+}
