@@ -1,24 +1,108 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query
+  * seconds at SPARK_GRAFT_CPUS, plus the BASELINE.json scaling metric —
+  * the extraction job run at two parallelism levels (local[8] vs
+  * local[32], the sandbox stand-in for N vs 4N executors) on the SAME
+  * generated input, reporting turns/sec at both and the scaling
+  * efficiency (t8s/t32s)/4.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // corpus files are small; keep scan splits fine enough that all
+      // cores stay busy (the local stand-in for cluster input splits)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** write the seeded transcript corpus once (distributed generation,
+    * 128 hash partitions — the stand-in for the Iceberg table).
+    */
+  private def ensureCorpus(spark: SparkSession, numConvs: Int): String = {
+    import spark.implicits._
+    val path = s"/tmp/graft_bench/transcripts_$numConvs"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      spark.range(0, numConvs, 1, 128)
+        .flatMap(i => graft.gen.TranscriptGen.genConv(42L, i)._1)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** the benchmarked job: scan corpus → per-turn markdown → summary
+    * fold (C13); returns (turns, seconds). Map-side only after the
+    * scan — the 100 TB shape.
+    */
+  private def extractRun(spark: SparkSession, path: String): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val extracted = graft.extract.ExtractPipeline.overTranscripts(
+      spark.read.parquet(path))
+    val row = extracted.agg(
+      count(lit(1)), count(when(col("status") === "ok", 1)),
+      sum(length(col("markdown")))).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (row.getLong(0), secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toInt
+
+    // 1. per-query timing at the driver-set parallelism
+    var spark = session(cpus)
+    // absorb one-time session/codegen cost so the first query isn't
+    // charged for it
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // 2. scaling: same extraction job over the SAME corpus at N=8 and
+    //    4N=32 threads (sandbox stand-in for N vs 4N executors)
+    val lowCpus = 8
+    val highCpus = 32
+    spark = session(highCpus)
+    val corpus = ensureCorpus(spark, benchConvs)
+    val warmCorpus = ensureCorpus(spark, math.max(benchConvs / 20, 50))
+    spark.stop()
+    spark = session(lowCpus)
+    val (_, warm) = extractRun(spark, warmCorpus) // JIT warm-up
+    val (turnsLow, secsLow) = extractRun(spark, corpus)
+    spark.stop()
+    spark = session(highCpus)
+    extractRun(spark, warmCorpus)
+    val (turnsHigh, secsHigh) = extractRun(spark, corpus)
+    spark.stop()
+    require(turnsLow == turnsHigh, "same input must yield same turn count")
+
+    val tpsLow = turnsLow / secsLow
+    val tpsHigh = turnsHigh / secsHigh
+    val eff = (tpsHigh / tpsLow) / (highCpus.toDouble / lowCpus)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    def f(d: Double) = f"$d%.3f"
+    println(
+      s"""{"metric":"turns/sec extraction throughput (local[$highCpus])","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"warmup_sec":${f(warm)}}}""")
   }
 }

@@ -245,11 +245,13 @@ object OracleSql {
          |    / CAST(3.0 AS DOUBLE))) AS confidence
          |FROM top5 JOIN documents ON top5.vec_id = documents.doc_id""".stripMargin),
     "embed_neardup" ->
-      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${dot("a.v", "b.v")} AS dot,
-         |  ${nrm("a.v")} AS na, ${nrm("b.v")} AS nb
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |SELECT a_id, b_id FROM p WHERE ($scoreCase) >= CAST(0.4 AS DOUBLE)""".stripMargin)
+      (s"""WITH e AS (SELECT vec_id,
+         |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x/n) END AS v
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, ${nrm("embedding::DOUBLE[]")} AS n
+         |        FROM embeddings))
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dot("a.v", "b.v")} >= CAST(0.4 AS DOUBLE)""".stripMargin)
   )
 
   // ---- training-data ops ----
@@ -360,18 +362,25 @@ object Queries {
     graft.rag.Confidence.overChunks(ctx, "text", RagQuery)
   }
 
-  /** Embedding-cosine near-duplicate pairs. Brute-force O(n²) pair
-    * join is correct at oracle scale; the documented scale path is
-    * AnnLsh bucketing first (join on bucket, then exact cosine within
-    * bucket) — same output for thresholds above the bucket recall.
+  /** Embedding-cosine near-duplicate pairs. Vectors are L2-normalized
+    * ONCE per row (O(n·dim)) so the O(n²) pair stage is dot-product
+    * only. Brute-force pairs are correct at oracle scale; the
+    * documented scale path is AnnLsh bucketing first (join on bucket,
+    * then exact dot within bucket) — same output for thresholds above
+    * the bucket recall.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val e = SparkEntry.embeddings(s, dir)
-      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val f = SparkEntry.embeddings(s, dir)
-      .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    import graft.rag.Similarity
+    def normalized(dir0: String, idAs: String, vAs: String) = {
+      val v = col("embedding").cast("array<double>")
+      val n = Similarity.norm(col("embedding"))
+      SparkEntry.embeddings(s, dir0).select(col("vec_id").as(idAs),
+        when(n === 0.0, v).otherwise(transform(v, x => x / n)).as(vAs))
+    }
+    val e = normalized(dir, "a_id", "va")
+    val f = normalized(dir, "b_id", "vb")
     e.join(f, col("a_id") < col("b_id"))
-      .filter(graft.rag.Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .filter(Similarity.dot(col("va"), col("vb")) >= threshold)
       .select("a_id", "b_id")
   }
 

@@ -32,12 +32,18 @@ object HashEmbedder {
   def tokenHash(tok: Column): Column =
     conv(substring(sha2(tok, 256), 1, 15), 16, 10).cast("long")
 
-  /** raw integer histogram: Σ ±1 per bucket. */
+  /** raw integer histogram: Σ ±1 per bucket. Single fold over tokens
+    * (each token sha256'd once) — the dims×tokens shape
+    * `transform(dims, d -> aggregate(tokens, ...))` would re-evaluate
+    * the token subtree per dimension after Catalyst inlines it.
+    */
   def rawEmbedding(text: Column, dim: Int = Dim): Column = {
+    val zeros = typedLit(Seq.fill(dim)(0L))
+    val dims = typedLit((0L until dim.toLong).toSeq)
     val hashed = transform(tokensCol(text), tokenHash _)
-    transform(sequence(lit(0), lit(dim - 1)), d =>
-      aggregate(hashed, lit(0L), (acc, h) =>
-        acc + when(pmod(h, lit(dim.toLong)) === d.cast("long"),
+    aggregate(hashed, zeros, (acc, h) =>
+      zip_with(acc, dims, (a, d) =>
+        a + when(pmod(h, lit(dim.toLong)) === d,
           when(pmod(shiftright(h, 6), lit(2L)) === 0L, 1L).otherwise(-1L))
           .otherwise(0L)))
   }

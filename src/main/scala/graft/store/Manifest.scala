@@ -85,15 +85,25 @@ object Manifest {
       // 1. data commit (idempotent: dynamic overwrite by partition)
       extracted.write.mode(SaveMode.Overwrite)
         .partitionBy("partition_id").parquet(outDir)
-      // 2. manifest commit (lineage + metrics per partition)
+      // 2. manifest commit (lineage + metrics per partition). The row
+      // domain is `todo`, NOT the written data — an EMPTY partition
+      // must still be marked done or resume would retry it forever.
       val finished = new java.sql.Timestamp(System.currentTimeMillis())
-      val metrics = spark.read.parquet(outDir)
-        .filter(col("partition_id").isin(todo: _*))
-        .groupBy("partition_id").agg(
-          count(lit(1)).as("rows_in"),
-          count(lit(1)).as("rows_out"),
-          count(when(col("status") === "ok", 1)).as("ok_rows"),
-          count(when(col("status") === "err", 1)).as("err_rows"))
+      import spark.implicits._
+      val stats = scala.util.Try(spark.read.parquet(outDir))
+        .map(_.filter(col("partition_id").isin(todo: _*))
+          .groupBy("partition_id").agg(
+            count(lit(1)).as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            count(when(col("status") === "ok", 1)).as("ok_rows"),
+            count(when(col("status") === "err", 1)).as("err_rows")))
+        .getOrElse(spark.emptyDataFrame
+          .select(lit(0).as("partition_id"), lit(0L).as("rows_in"),
+            lit(0L).as("rows_out"), lit(0L).as("ok_rows"), lit(0L).as("err_rows"))
+          .limit(0))
+      val metrics = todo.toSeq.toDF("partition_id")
+        .join(stats, Seq("partition_id"), "left")
+        .na.fill(0L, Seq("rows_in", "rows_out", "ok_rows", "err_rows"))
         .withColumn("status", lit("done"))
         .withColumn("started_ts", lit(started))
         .withColumn("finished_ts", lit(finished))

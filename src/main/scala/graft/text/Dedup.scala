@@ -60,15 +60,30 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** MinHash signature: sig[i] = min over shingles of hash_i. */
+  /** MinHash signature: sig[i] = min over shingles of hash_i.
+    *
+    * Shaped as a SINGLE fold over the shingle array — each shingle is
+    * materialized and hashed exactly once per seed. (The naive
+    * `transform(seeds, i -> array_min(transform(shingles, ...)))`
+    * re-evaluates the whole shingle subtree per seed: Catalyst inlines
+    * aliased subtrees into lambda bodies, so lambda-nested
+    * array-building work multiplies by the outer arity.)
+    */
   def signatureCol(text: Column): Column = {
-    val sh = shinglesCol(text)
-    val hashed = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(sh, s => seededHash(i, s))))
-    hashed
+    val maxSig = typedLit(Seq.fill(NumHashes)(Long.MaxValue))
+    aggregate(shinglesCol(text), maxSig, (acc, s) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(NumHashes - 1)), i => seededHash(i, s)),
+        (a, h) => least(a, h)))
   }
 
-  /** candidate pairs: same (band, band_key) bucket for any band. */
+  /** candidate pairs: same (band, band_key) bucket for any band.
+    *
+    * The band table is materialized (persist + eager count) before the
+    * self-join — the production shape (signatures are a persisted
+    * sketch table), and it stops Catalyst from inlining the full
+    * sha256 signature pipeline into BOTH join legs.
+    */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = docs
       .filter(size(wordsCol(col(textCol))) >= 3)
@@ -79,6 +94,8 @@ object Dedup {
           concat_ws(",", slice(col("sig"), b * lit(RowsPerBand) + 1,
             lit(RowsPerBand))).as("key")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+      .persist()
+    bands.count() // materialize once
     val a = bands.select(col("id").as("a_id"), col("band"), col("key"))
     val b = bands.select(col("id").as("b_id"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
@@ -91,22 +108,28 @@ object Dedup {
 
   /** 60-bit SimHash over word tokens: bit b set iff the ±1 vote sum of
     * that bit across token hashes is positive.
+    *
+    * Single pass over tokens (each token sha256'd once, emitting all
+    * 60 bit votes), then one fold of the vote vector into the hash —
+    * never re-evaluates the token array per bit.
     */
   def simhashCol(text: Column): Column = {
     val masks = typedLit((0 until SimBits).map(b => 1L << b))
+    val zeros = typedLit(Seq.fill(SimBits)(0L))
     val hashed = transform(wordsCol(text), w => HashEmbedder.tokenHash(w))
-    aggregate(sequence(lit(0), lit(SimBits - 1)), lit(0L), (acc, bIdx) => {
-      val mask = element_at(masks, bIdx.cast("int") + 1)
-      val vote = aggregate(hashed, lit(0L), (a2, h) =>
-        a2 + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      acc + when(vote > 0L, mask).otherwise(0L)
-    })
+    val votes = aggregate(hashed, zeros, (acc, h) =>
+      zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** near-dup pairs by Hamming distance on SimHash. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val s = docs.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
+      .persist()
+    s.count() // materialize the sketch once, not per join leg
     val a = s.select(col("id").as("a_id"), col("sim").as("sa"))
     val b = s.select(col("id").as("b_id"), col("sim").as("sb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -125,6 +148,8 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(shinglesCol(col(textCol)))).as("sh"))
+      .persist()
+    sh.count() // shared by sizes + both join legs
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("a_id"), col("sh"))
     val b = sh.select(col("id").as("b_id"), col("sh"))

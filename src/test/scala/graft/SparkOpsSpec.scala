@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.gen.TranscriptGen
+import graft.multimodal.Multimodal
+import graft.rag.{AnnLsh, HashEmbedder, Similarity, TopK}
+import graft.store.{Manifest, StoreOps}
+
+/** Distributed-path integration tests: the checkpoint/resume protocol,
+  * store semantics, and JVM↔Column twin consistency.
+  */
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_test").toString
+
+  test("manifest: kill after k partitions, resume processes exactly n-k") {
+    import spark.implicits._
+    val transcripts = spark.range(0, 30)
+      .flatMap(i => TranscriptGen.genConv(42L, i)._1).toDF()
+    val out = tmpDir() + "/out"
+    val mdir = tmpDir() + "/manifest"
+    val n = 8
+    // first run "dies" after 3 of 8 partitions (maxBatches=3, one
+    // partition per commit)
+    val first = Manifest.runResumable(spark, transcripts, out, mdir, n,
+      partitionsPerCommit = 1, maxBatches = 3)
+    assert(first == 3)
+    val m1 = Manifest.load(spark, mdir)
+    assert(m1.filter(col("status") === "done").count() == 3)
+    // resume: exactly the remaining 5, nothing reprocessed
+    val second = Manifest.runResumable(spark, transcripts, out, mdir, n)
+    assert(second == n - 3)
+    // output is complete and exactly-once per (conv_id, turn_idx)
+    val result = spark.read.parquet(out)
+    assert(result.count() == transcripts.count())
+    assert(result.groupBy("conv_id", "turn_idx").count()
+      .filter(col("count") > 1).isEmpty)
+    // a third run is a no-op
+    assert(Manifest.runResumable(spark, transcripts, out, mdir, n) == 0)
+    // lineage metrics reconcile with the data
+    val m2 = Manifest.load(spark, mdir)
+    assert(m2.agg(sum("rows_out")).head.getLong(0) == transcripts.count())
+  }
+
+  test("resume is idempotent under partition re-run (overwrite, not append)") {
+    import spark.implicits._
+    val transcripts = spark.range(0, 10)
+      .flatMap(i => TranscriptGen.genConv(42L, i)._1).toDF()
+    val out = tmpDir() + "/out"
+    val mdir = tmpDir() + "/manifest"
+    Manifest.runResumable(spark, transcripts, out, mdir, 4)
+    val count1 = spark.read.parquet(out).count()
+    // simulate a lost manifest commit for partition 0: delete its rows
+    val m = Manifest.load(spark, mdir).filter(col("partition_id") =!= 0)
+    val mdir2 = tmpDir() + "/manifest2"
+    m.write.mode(SaveMode.Overwrite).parquet(mdir2)
+    // re-run: partition 0 is rewritten in place, count unchanged
+    assert(Manifest.runResumable(spark, transcripts, out, mdir2, 4) == 1)
+    assert(spark.read.parquet(out).count() == count1)
+  }
+
+  test("hash embedder: Column expression equals pure-JVM twin") {
+    import spark.implicits._
+    val texts = Seq("spark merge join table scan", "AT+CFUN=1 set mode.",
+      "", "the the the", "one")
+    val fromCol = texts.toDF("text")
+      .select(HashEmbedder.embedding(col("text")).as("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    texts.zip(fromCol).foreach { case (t, got) =>
+      assert(got.toVector == HashEmbedder.embed(t).toVector, s"text: '$t'")
+    }
+  }
+
+  test("cosine: HOF column matches scalar math, zero-norm yields 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0)
+  }
+
+  test("lsh search returns a subset of brute-force ranking, same scores") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, HashEmbedder.embed(s"doc $i content ${i % 7}").map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = HashEmbedder.embed("doc 3 content 3")
+    val brute = TopK.search(vecs, q, 200).select("vec_id", "score")
+      .as[(Long, Double)].collect().toMap
+    val lsh = AnnLsh.search(vecs, q, 10).select("vec_id", "score")
+      .as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, s) => assert(brute(id) == s) }
+  }
+
+  test("store: appendDedup keeps newest row per chunk_id") {
+    import spark.implicits._
+    val existing = Seq(("c1", "old"), ("c2", "old")).toDF("chunk_id", "v")
+    val batch = Seq(("c2", "new"), ("c3", "new")).toDF("chunk_id", "v")
+    val merged = StoreOps.appendDedup(existing, batch)
+      .as[(String, String)].collect().toMap
+    assert(merged == Map("c1" -> "old", "c2" -> "new", "c3" -> "new"))
+  }
+
+  test("multimodal: binary plumbing round-trips deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, "hello media payload"), (2L, "")).toDF("doc_id", "text")
+    val metas = Multimodal.decodeMeta(df).collect().sortBy(_.doc_id)
+    assert(metas(0).byte_len == 19)
+    assert(metas(0).digest.length == 64)
+    assert(metas(0).n_frames == 1)
+    assert(metas(0).frame_offsets == Seq(0))
+    assert(metas(0).width >= 1 && metas(0).width <= 1021)
+    // stable across runs
+    val again = Multimodal.decodeMeta(df).collect().sortBy(_.doc_id)
+    assert(metas.toSeq == again.toSeq)
+  }
+}
