@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads in ONE driver JVM; an 8g heap made
+  // the string-heavy extraction kernel GC-bound at high thread counts
+  // (the box has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput GC for the batch workload; G1's pause targeting costs
+  // ~10-20% at 32 allocation-heavy threads
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
 )

@@ -63,12 +63,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toInt
 
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+
     // 1. per-query timing at the driver-set parallelism
     var spark = session(cpus)
     // absorb one-time session/codegen cost so the first query isn't
     // charged for it
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val benchQueries =
+      if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
@@ -84,13 +88,22 @@ object Bench {
     val corpus = ensureCorpus(spark, benchConvs)
     val warmCorpus = ensureCorpus(spark, math.max(benchConvs / 20, 50))
     spark.stop()
+    // per level: one full-corpus warm-up pass (the kernel only fully
+    // JITs after millions of turns — a short warm-up leaves C2
+    // compilation racing the measurement), then best-of-2 measured.
     spark = session(lowCpus)
-    val (_, warm) = extractRun(spark, warmCorpus) // JIT warm-up
-    val (turnsLow, secsLow) = extractRun(spark, corpus)
+    val (_, warm) = extractRun(spark, warmCorpus)
+    extractRun(spark, corpus) // JIT warm-up at full size
+    val (turnsLow, s1) = extractRun(spark, corpus)
+    val (_, s2) = extractRun(spark, corpus)
+    val secsLow = math.min(s1, s2)
     spark.stop()
     spark = session(highCpus)
     extractRun(spark, warmCorpus)
-    val (turnsHigh, secsHigh) = extractRun(spark, corpus)
+    extractRun(spark, corpus)
+    val (turnsHigh, s3) = extractRun(spark, corpus)
+    val (_, s4) = extractRun(spark, corpus)
+    val secsHigh = math.min(s3, s4)
     spark.stop()
     require(turnsLow == turnsHigh, "same input must yield same turn count")
 
@@ -98,11 +111,20 @@ object Bench {
     val tpsHigh = turnsHigh / secsHigh
     val eff = (tpsHigh / tpsLow) / (highCpus.toDouble / lowCpus)
 
+    // 3. the executor-model scaling evidence: N vs 4N worker JVMs over
+    //    the same corpus, plus the host's own pure-CPU scaling ceiling
+    //    (this shared VM does not deliver 4x capacity at 4x vCPUs —
+    //    the ceiling makes that explicit and the pipeline's efficiency
+    //    readable relative to it)
+    val multiproc =
+      if (sys.env.get("SPARK_GRAFT_SKIP_MULTIPROC").contains("1")) "null"
+      else bench.MultiProcBench.fleetComparison(corpus, lowCpus)
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def f(d: Double) = f"$d%.3f"
     println(
-      s"""{"metric":"turns/sec extraction throughput (local[$highCpus])","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"warmup_sec":${f(warm)}}}""")
+      s"""{"metric":"turns/sec extraction throughput (local[$highCpus]; see multiproc for the executor-model numbers)","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"warmup_sec":${f(warm)}},"multiproc":$multiproc}""")
   }
 }

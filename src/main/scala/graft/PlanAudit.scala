@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries — the
+  * scale audit: column pruning reaching the scan (ReadSchema),
+  * predicate pushdown (PushedFilters), top-k as TakeOrderedAndProject
+  * (not a global sort), broadcast joins for small dims, and
+  * WholeStageCodegen span width.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("extract_markdown", "search_topk", "rag_query",
+      "resume_pending", "dedup_minhash", "list_documents", "chunk_sections",
+      "embed_neardup", "delete_document")
+    interesting.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

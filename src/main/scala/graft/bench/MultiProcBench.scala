@@ -1,0 +1,213 @@
+package graft.bench
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** N vs 4N **executor-process** scaling evidence (BASELINE.json).
+  *
+  * `local[32]` puts 32 executor threads in ONE JVM — they share a heap
+  * and an allocator, which a real 4N-executor cluster does not (each
+  * executor is its own JVM). This bench reproduces the cluster layout
+  * locally: k worker JVMs × c threads each, disjoint file slices of
+  * the SAME corpus, all warmed up before a synchronized GO (real
+  * executors are long-lived; JVM startup is not part of job time).
+  *
+  *   orchestrate mode: spawn workers → wait READY* → GO → wall time
+  *     from GO to last DONE.
+  *   worker mode: warm (full slice, twice) → READY → await GO →
+  *     measured run → DONE <secs> <turns>.
+  *
+  * Efficiency(N→4N) = throughput(4 workers) / (4 × throughput(1
+  * worker)), same per-worker thread count, same total corpus.
+  */
+object MultiProcBench {
+
+  private def workerMain(cpus: Int, files: Array[String]): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-worker")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // task CPU-time accumulator: if Σ executorCpuTime is invariant
+    // across layouts, the job does no extra/serial work with scale —
+    // wall-clock gaps are machine-level (bandwidth), not dataflow.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+    def run(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(files: _*)
+      val row = graft.extract.ExtractPipeline.overTranscripts(df)
+        .agg(count(lit(1)), sum(length(col("markdown")))).collect()(0)
+      (row.getLong(0), (System.nanoTime() - t0) / 1e9)
+    }
+    run(); run() // JIT warm-up on the worker's own slice
+    println("READY")
+    Console.out.flush()
+    val in = new BufferedReader(new InputStreamReader(System.in))
+    var cmd = in.readLine()
+    while (cmd != null && cmd == "GO") { // repeated rounds until EXIT
+      cpuNs.set(0)
+      val (turns, secs) = run()
+      // listener events are queued async; give the bus a moment to drain
+      Thread.sleep(500)
+      println(f"DONE $secs%.3f $turns ${cpuNs.get / 1e9}%.3f")
+      Console.out.flush()
+      cmd = in.readLine()
+    }
+    spark.stop()
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** spawn k workers over disjoint slices; wall time from GO to last
+    * DONE. Returns (wallSecs, totalTurns, maxWorkerSecs).
+    */
+  private def runFleet(numWorkers: Int, cpusPerWorker: Int,
+      corpus: String): (Double, Long, Double) = {
+    val files = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    val slices = Array.fill(numWorkers)(Vector.newBuilder[String])
+    files.zipWithIndex.foreach { case (f, i) => slices(i % numWorkers) += f }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = slices.map { sl =>
+      // NOTE: do NOT pin workers to core ranges — this host's vCPUs
+      // are asymmetric (pinning collapsed throughput 2x); the guest
+      // scheduler floats onto whatever physical capacity exists.
+      val cmd = Seq(javaBin) ++ addOpens ++
+        Seq("-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC",
+          "-cp", cp, "graft.bench.MultiProcBench", "worker",
+          cpusPerWorker.toString, sl.result().mkString(","))
+      new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    }
+    val outs = procs.map(p => new BufferedReader(new InputStreamReader(p.getInputStream)))
+    val ins = procs.map(p => new PrintWriter(p.getOutputStream, true))
+    // drain until READY from every worker
+    outs.foreach { o =>
+      var line = o.readLine()
+      while (line != null && line != "READY") line = o.readLine()
+      require(line == "READY", "worker died before READY")
+    }
+    // best-of-3 rounds against a noisy shared host
+    var bestWall = Double.MaxValue
+    var bestCpu = 0.0
+    var totalTurns = 0L
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      ins.foreach(_.println("GO"))
+      var turns = 0L
+      var cpuSec = 0.0
+      outs.foreach { o =>
+        var line = o.readLine()
+        while (line != null && !line.startsWith("DONE")) line = o.readLine()
+        require(line != null, "worker died before DONE")
+        val parts = line.split(" ")
+        turns += parts(2).toLong
+        cpuSec += parts(3).toDouble
+      }
+      val wall = (System.nanoTime() - t0) / 1e9 - 0.5 // listener drain sleep
+      totalTurns = turns
+      if (wall < bestWall) { bestWall = wall; bestCpu = cpuSec }
+    }
+    ins.foreach(_.println("EXIT"))
+    procs.foreach(_.waitFor())
+    (bestWall, totalTurns, bestCpu)
+  }
+
+  /** pure-arithmetic spin — the host's own CPU-scaling ceiling.
+    * On an oversubscribed VM, k vCPUs deliver fewer than k cores of
+    * real capacity; this control quantifies that independent of any
+    * memory/GC effect, so pipeline efficiency can be read relative to
+    * the hardware's.
+    */
+  private def spinWorker(threads: Int): Unit = {
+    val counters = (0 until threads).map { _ =>
+      val t = new java.util.concurrent.atomic.AtomicLong(0)
+      val th = new Thread(() => {
+        val t0 = System.nanoTime()
+        var x = 1.0
+        var n = 0L
+        while (System.nanoTime() - t0 < 4e9.toLong) {
+          var i = 0
+          while (i < 100000) { x = x * 1.0000001 % 10; i += 1 }
+          n += 100000
+        }
+        t.set(n + (if (x > 100) 1 else 0))
+      })
+      th.start()
+      (t, th)
+    }
+    counters.foreach(_._2.join())
+    println(s"SPIN ${counters.map(_._1.get).sum}")
+    Console.out.flush()
+  }
+
+  private def runSpin(workers: Int, threadsPer: Int): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val t0 = System.nanoTime()
+    val procs = (0 until workers).map { _ =>
+      new ProcessBuilder(javaBin, "-Xmx256m", "-cp", cp,
+        "graft.bench.MultiProcBench", "spinworker", threadsPer.toString).start()
+    }
+    val ops = procs.map { p =>
+      val o = new BufferedReader(new InputStreamReader(p.getInputStream))
+      var line = o.readLine()
+      while (line != null && !line.startsWith("SPIN")) line = o.readLine()
+      p.waitFor()
+      line.split(" ")(1).toLong
+    }.sum
+    ops / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** N vs 4N executor-process comparison + host ceiling, as a JSON
+    * object string (shared by this main and graft.Bench).
+    */
+  def fleetComparison(corpus: String, cpusPerWorker: Int): String = {
+    val lowWorkers = 1
+    val highWorkers = 4
+    val (wallLow, turnsLow, cpuLow) = runFleet(lowWorkers, cpusPerWorker, corpus)
+    val (wallHigh, turnsHigh, cpuHigh) = runFleet(highWorkers, cpusPerWorker, corpus)
+    require(turnsLow == turnsHigh)
+    val tpsLow = turnsLow / wallLow
+    val tpsHigh = turnsHigh / wallHigh
+    val eff = (tpsHigh / tpsLow) / (highWorkers.toDouble / lowWorkers)
+    // hardware ceiling: same layout, pure arithmetic, no memory/GC
+    val spinLow = runSpin(lowWorkers, cpusPerWorker)
+    val spinHigh = runSpin(highWorkers, cpusPerWorker)
+    val spinEff = (spinHigh / spinLow) / (highWorkers.toDouble / lowWorkers)
+    def f(d: Double) = f"$d%.3f"
+    s"""{"turns":$turnsLow,"cpus_per_worker":$cpusPerWorker,"workers_low":$lowWorkers,"workers_high":$highWorkers,"wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},"cpu_sec_low":${f(cpuLow)},"cpu_sec_high":${f(cpuHigh)},"cpu_time_ratio":${f(cpuHigh / cpuLow)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"host_cpu_ceiling_efficiency":${f(spinEff)},"hardware_relative_efficiency":${f(eff / spinEff)}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "worker") {
+      workerMain(args(1).toInt, args(2).split(","))
+      return
+    }
+    if (args.nonEmpty && args(0) == "spinworker") {
+      spinWorker(args(1).toInt)
+      return
+    }
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_CORPUS",
+      "/tmp/graft_bench/transcripts_400000")
+    val cpusPerWorker = sys.env.getOrElse("SPARK_GRAFT_WORKER_CPUS", "8").toInt
+    println(s"""{"bench":"multiproc",${fleetComparison(corpus, cpusPerWorker).drop(1)}""")
+  }
+}

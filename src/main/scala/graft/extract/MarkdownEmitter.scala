@@ -23,8 +23,29 @@ package graft.extract
   */
 object MarkdownEmitter {
 
-  private val Bullet = "^([-•*])\\s+(.*)$".r
-  private val Numbered = "^(\\d+)[.)]\\s+(.*)$".r
+  // list-item recognition is on the per-block hot path (called several
+  // times per block) — char checks, no regex/Matcher allocation
+  private def bulletRest(t: String): String = {
+    // "^[-•*]\s+(.*)$"
+    if (t.length < 2) return null
+    val c = t.charAt(0)
+    if (c != '-' && c != '•' && c != '*') return null
+    var i = 1
+    while (i < t.length && Character.isWhitespace(t.charAt(i))) i += 1
+    if (i == 1) null else t.substring(i)
+  }
+
+  private def numberedParts(t: String): (String, String) = {
+    // "^(\d+)[.)]\s+(.*)$"
+    var i = 0
+    while (i < t.length && t.charAt(i) >= '0' && t.charAt(i) <= '9') i += 1
+    if (i == 0 || i >= t.length) return null
+    val sep = t.charAt(i)
+    if (sep != '.' && sep != ')') return null
+    var j = i + 1
+    while (j < t.length && Character.isWhitespace(t.charAt(j))) j += 1
+    if (j == i + 1) null else (t.substring(0, i), t.substring(j))
+  }
 
   /** Emit markdown elements (each element = one or more lines) for
     * blocks already in reading order, with headers identified.
@@ -103,20 +124,22 @@ object MarkdownEmitter {
     out.result()
   }
 
-  private def isListItem(b: Block): Boolean = b.text match {
-    case Bullet(_, _) => b.kind != BlockKind.Html || b.lastTag != "pre"
-    case Numbered(_, _) => true
-    case _ => b.kind == BlockKind.Html && b.lastTag == "li"
-  }
+  private def isListItem(b: Block): Boolean =
+    if (bulletRest(b.text) != null)
+      b.kind != BlockKind.Html || b.lastTag != "pre"
+    else if (numberedParts(b.text) != null) true
+    else b.kind == BlockKind.Html && b.lastTag == "li"
 
   private def sameFlow(a: Block, b: Block): Boolean =
     a.kind == b.kind && (a.kind != BlockKind.Pdf || a.page == b.page) &&
       !a.isMono && !a.isTableRow
 
-  private def listLine(text: String): String = text match {
-    case Bullet(_, rest) => "- " + rest
-    case Numbered(n, rest) => s"$n. $rest"
-    case other => "- " + other.trim
+  private def listLine(text: String): String = {
+    val b = bulletRest(text)
+    if (b != null) return "- " + b
+    val n = numberedParts(text)
+    if (n != null) n._1 + ". " + n._2
+    else "- " + text.trim
   }
 
   /** C7 — inline styling from span flags (headings/lists exempt). */
