@@ -117,7 +117,37 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
-    "mm_meta" -> ((s, dir) => Multimodal.decodeMeta(docs(s, dir)).toDF())
+    "mm_meta" -> ((s, dir) => Multimodal.decodeMeta(docs(s, dir)).toDF()),
+
+    // ---- stable ordering window (north rule) + event-time agg ----
+    "stable_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("turn_rank"))
+    }),
+    // event-time tumbling-window aggregate (batch analog of the
+    // streaming windowed agg). The value sum is carried in integer
+    // micro-units so it is associative — float summation order would
+    // otherwise differ between engines/layouts.
+    "window_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000000).cast("long")).as("total_micros"))),
+
+    // ---- V9/V11: full ingest pipeline (extract → chunk → ids) ----
+    "ingest_pipeline" -> ((s, dir) => {
+      val md = ExtractPipeline.overDocuments(docs(s, dir))
+        .select(col("doc_id"), col("markdown").as("text"))
+      ChunkOps.sections(md).toDF()
+        .select(col("chunk_id"), col("document"), col("content"),
+          col("token_count"),
+          Ids.chunkKeyCol(col("document"), col("chunk_index"),
+            col("content")).as("chunk_key"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,7 +206,22 @@ object SparkEntry {
     "collection_count" ->
       "SELECT count(*) AS n FROM documents",
     "resume_pending" ->
-      "SELECT doc_id FROM documents WHERE doc_id % 16 >= 10"
+      "SELECT doc_id FROM documents WHERE doc_id % 16 >= 10",
+    "stable_order" ->
+      ("SELECT event_id, user_id, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_rank " +
+        "FROM events"),
+    "window_agg" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        "count(*) AS n, sum(CAST(round(value * 1000000) AS BIGINT)) AS total_micros " +
+        "FROM events GROUP BY 1, 2"),
+    "ingest_pipeline" ->
+      (s"SELECT 'doc-'||doc_id||'_0' AS chunk_id, 'doc-'||doc_id AS document, " +
+        "text || chr(10) AS content, " +
+        s"len(regexp_extract_all(text, '${Tokenizer.TokenRegex}')) AS token_count, " +
+        "substr(lower(trim(regexp_replace(regexp_replace('doc-'||doc_id, '[^\\w\\s-]', '_', 'g'), '[_\\s]+', '_', 'g'), '_')), 1, 30) " +
+        "|| '_' || substr(sha256('doc-'||doc_id||'|0|'||substr(text||chr(10),1,100)), 1, 16) AS chunk_key " +
+        "FROM documents")
   ) ++ OracleSql.retrieval ++ OracleSql.textOps
 }
 
