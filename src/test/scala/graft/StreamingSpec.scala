@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sources.Sources
+import graft.store.SkewAgg
+import graft.streaming.StreamingOps
+
+/** Streaming equivalence + source/sink utils + salted aggregation. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming window agg equals the batch result") {
+    import spark.implicits._
+    // the file stream source needs a directory; stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("events_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.eventWindowCounts(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT event_type, sum(n) AS n, sum(total_micros) AS t FROM winagg GROUP BY 1")
+      .as[(String, Long, Long)].collect().map { case (k, a, b) => k -> (a, b) }.toMap
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000).cast("long")).as("t"))
+      .as[(String, Long, Long)].collect().map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming extraction is stateless append and matches batch kernel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    spark.range(0, 5).flatMap(i => graft.gen.TranscriptGen.genConv(42L, i)._1)
+      .toDF().write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.extractStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("extracted").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT conv_id, turn_idx, markdown FROM extracted")
+      .as[(String, Int, String)].collect().toSet
+    val batch = graft.extract.ExtractPipeline.overTranscripts(spark.read.parquet(dir))
+      .select("conv_id", "turn_idx", "markdown")
+      .as[(String, Int, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("salted aggregation equals direct groupBy") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), round(col("value") * 1000000).cast("long").as("v"))
+    val direct = df.groupBy("user_id")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = SkewAgg.saltedSumCount(df, "user_id", "v", salt = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("sources: binaryFile scan, markdown sink, truncate, exit code") {
+    import spark.implicits._
+    // binaryFile scan over this repo's markdown docs
+    val bf = Sources.binaryFiles(spark, "/root/repo", glob = "*.md",
+      recursive = false)
+    assert(bf.count() > 0)
+    assert(bf.columns.contains("content") && bf.columns.contains("path"))
+    // markdown sink partitions by conv bucket
+    val extracted = graft.extract.ExtractPipeline.overTranscripts(
+      spark.range(0, 3).flatMap(i => graft.gen.TranscriptGen.genConv(42L, i)._1).toDF())
+    val out = java.nio.file.Files.createTempDirectory("mdsink").toString + "/md"
+    Sources.writeMarkdown(extracted, out, buckets = 4)
+    assert(spark.read.parquet(out).count() == extracted.count())
+    // truncate empties but preserves schema
+    Sources.truncate(spark, out)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 0 && after.columns.contains("markdown"))
+    // exit code from summary
+    assert(Sources.exitCode(
+      graft.extract.ExtractPipeline.summary(extracted)) == 0)
+  }
+}
