@@ -61,7 +61,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toInt
+    // ~7.5M turns: big enough that job overhead is <5% of the 8-core
+    // wall and the scaling numbers are stable
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 

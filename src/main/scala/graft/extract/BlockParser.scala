@@ -20,16 +20,19 @@ object BlockParser {
 
   def parse(payload: String): Vector[Block] = {
     if (payload == null || payload.isEmpty) return Vector.empty
-    val lines = payload.split("\n", -1)
     val out = Vector.newBuilder[Block]
     var seq = 0
-    var i = 0
-    while (i < lines.length) {
-      val line = lines(i)
-      if (line.nonEmpty) {
-        parseLine(line, seq).foreach { b => out += b; seq += 1 }
+    var start = 0
+    val n = payload.length
+    while (start <= n - 1) {
+      var end = payload.indexOf('\n', start)
+      if (end < 0) end = n
+      if (end > start) {
+        parseLine(payload.substring(start, end), seq).foreach { b =>
+          out += b; seq += 1
+        }
       }
-      i += 1
+      start = end + 1
     }
     out.result()
   }
@@ -47,31 +50,44 @@ object BlockParser {
   private def plain(text: String, seq: Int): Block =
     Block(BlockKind.Plain, 0, 0, 0, 0, 0, 0.0, 0, "", 0, text, seq)
 
-  /** `P<page>\t<x0>,<y0>,<x1>,<y1>\t<fontSize>\t<flags>\t<content>` */
+  /** next field boundary; returns -1 when the separator is missing */
+  @inline private def tab(line: String, from: Int): Int =
+    line.indexOf('\t', from)
+
+  /** `P<page>\t<x0>,<y0>,<x1>,<y1>\t<fontSize>\t<flags>\t<content>`
+    * (manual field scan — the parser is the kernel's hottest stage;
+    * split() allocated two arrays + extra substrings per line)
+    */
   private def parsePdf(line: String, seq: Int): Option[Block] = {
-    val parts = line.split("\t", 5)
-    if (parts.length != 5) return None
+    val t1 = tab(line, 0); if (t1 < 0) return None
+    val t2 = tab(line, t1 + 1); if (t2 < 0) return None
+    val t3 = tab(line, t2 + 1); if (t3 < 0) return None
+    val t4 = tab(line, t3 + 1); if (t4 < 0) return None
     try {
-      val page = parts(0).substring(1).toInt
-      val bbox = parts(1).split(",", 4)
-      if (bbox.length != 4) return None
-      val x0 = bbox(0).toDouble; val y0 = bbox(1).toDouble
-      val x1 = bbox(2).toDouble; val y1 = bbox(3).toDouble
-      val fontSize = parts(2).toDouble
-      val flags = parts(3).toInt
+      val page = Integer.parseInt(line, 1, t1, 10)
+      val c1 = line.indexOf(',', t1 + 1); if (c1 < 0 || c1 > t2) return None
+      val c2 = line.indexOf(',', c1 + 1); if (c2 < 0 || c2 > t2) return None
+      val c3 = line.indexOf(',', c2 + 1); if (c3 < 0 || c3 > t2) return None
+      val x0 = java.lang.Double.parseDouble(line.substring(t1 + 1, c1))
+      val y0 = java.lang.Double.parseDouble(line.substring(c1 + 1, c2))
+      val x1 = java.lang.Double.parseDouble(line.substring(c2 + 1, c3))
+      val y1 = java.lang.Double.parseDouble(line.substring(c3 + 1, t2))
+      val fontSize = java.lang.Double.parseDouble(line.substring(t2 + 1, t3))
+      val flags = Integer.parseInt(line, t3 + 1, t4, 10)
       Some(Block(BlockKind.Pdf, page, x0, y0, x1, y1, fontSize, flags,
-        "", 0, parts(4), seq))
+        "", 0, line.substring(t4 + 1), seq))
     } catch { case _: NumberFormatException => None }
   }
 
   /** `H\t<tagPath>\t<linkChars>\t<content>` */
   private def parseHtml(line: String, seq: Int): Option[Block] = {
-    val parts = line.split("\t", 4)
-    if (parts.length != 4) return None
+    val t1 = 1 // line starts with "H\t"
+    val t2 = tab(line, t1 + 1); if (t2 < 0) return None
+    val t3 = tab(line, t2 + 1); if (t3 < 0) return None
     try {
-      val linkChars = parts(2).toInt
+      val linkChars = Integer.parseInt(line, t2 + 1, t3, 10)
       Some(Block(BlockKind.Html, 0, 0, 0, 0, 0, 0.0, 0,
-        parts(1), linkChars, parts(3), seq))
+        line.substring(t1 + 1, t2), linkChars, line.substring(t3 + 1), seq))
     } catch { case _: NumberFormatException => None }
   }
 }

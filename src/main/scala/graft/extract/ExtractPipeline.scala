@@ -32,7 +32,7 @@ object ExtractPipeline {
     val headerMap = Headers.identify(blocks)
     val ordered = ReadingOrder.order(blocks)
     val elements = MarkdownEmitter.emit(ordered, headerMap)
-    LintNormalize.normalize(elements.mkString("\n\n"))
+    LintNormalize.normalizeJoin(elements)
   }
 
   /** C12 wrapper: (status, markdown-or-empty, error-or-empty). */

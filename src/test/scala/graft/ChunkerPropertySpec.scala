@@ -94,6 +94,16 @@ class ChunkerPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("normalizeJoin is byte-identical to join + normalize") {
+    val elemGen = Gen.listOf(Gen.oneOf(
+      Gen.const(""), Gen.const("   "), Gen.const("# H"),
+      Gen.const("a\nb"), Gen.const("x  \n\n y\t"), Gen.asciiPrintableStr))
+    check(Prop.forAll(elemGen) { els =>
+      graft.extract.LintNormalize.normalizeJoin(els) ==
+        graft.extract.LintNormalize.normalize(els.mkString("\n\n"))
+    })
+  }
+
   test("extraction kernel: total on arbitrary garbage (never throws)") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       graft.extract.ExtractPipeline.extractSafe(s)._1 != null
