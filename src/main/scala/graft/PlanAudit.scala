@@ -24,6 +24,10 @@ object PlanAudit {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
+    // SQL-surface smoke: the custom expression through plain SQL
+    GraftExtensions.register(spark)
+    println("dot_product via SQL = " + spark.sql(
+      "SELECT dot_product(array(1.0D,2.0D), array(3.0D,4.0D))").head().getDouble(0))
     spark.stop()
   }
 }

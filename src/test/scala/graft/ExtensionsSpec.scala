@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** SQL surface via SparkSessionExtensions: the custom Catalyst
+  * DotProduct expression callable from plain SQL.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("dot_product callable from SQL (extension injection)") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("dot_product registrable on an existing session") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 0.0)
+  }
+
+  test("store trait: parquet realization round-trips + partition overwrite") {
+    import spark.implicits._
+    import graft.store.ParquetStore
+    val dir = java.nio.file.Files.createTempDirectory("store").toString + "/t"
+    val df = Seq((0, "a"), (1, "b")).toDF("partition_id", "v")
+    ParquetStore.overwritePartitions(df, dir, "partition_id")
+    assert(ParquetStore.read(spark, dir).count() == 2)
+    // overwrite only partition 0; partition 1 untouched
+    val df2 = Seq((0, "a2")).toDF("partition_id", "v")
+    ParquetStore.overwritePartitions(df2, dir, "partition_id")
+    val rows = ParquetStore.read(spark, dir)
+      .as[(String, Int)].collect().toSet // (v, partition_id) column order
+    assert(rows == Set(("a2", 0), ("b", 1)))
+    ParquetStore.truncate(spark, dir)
+    assert(ParquetStore.read(spark, dir).count() == 0)
+  }
+}
