@@ -6,7 +6,7 @@ import graft.chunk.{ChunkOps, Tokenizer}
 import graft.extract.ExtractPipeline
 import graft.gen.TranscriptGen
 import graft.multimodal.Multimodal
-import graft.rag.{AnnLsh, Confidence, HashEmbedder, TopK}
+import graft.rag.{AnnIvf, AnnLsh, Confidence, HashEmbedder, TopK}
 import graft.store.{Ids, StoreOps}
 import graft.text.{Dedup, TextOps}
 
@@ -97,6 +97,9 @@ object SparkEntry {
         .select("vec_id", "score")),
     "ann_lsh" -> ((s, dir) =>
       AnnLsh.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 10)
+        .select("vec_id", "score")),
+    "ann_ivf" -> ((s, dir) =>
+      AnnIvf.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 10)
         .select("vec_id", "score")),
     "confidence" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -273,6 +276,23 @@ object OracleSql {
          |s AS (SELECT vec_id, ${dot("embedding::DOUBLE[]", "(SELECT qe FROM q)")} AS dot,
          |  ${nrm("embedding::DOUBLE[]")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb FROM c)
          |SELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    "ann_ivf" -> {
+      def cos(a: String, b: String) =
+        s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < ${graft.rag.AnnIvf.NCells}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |qc AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT ${graft.rag.AnnIvf.NProbe}),
+         |cand AS (SELECT e.vec_id, e.v FROM e JOIN cells USING (vec_id)
+         |  WHERE cells.cid IN (SELECT cid FROM qc)),
+         |fs AS (SELECT vec_id, ${dot("v", "(SELECT qe FROM q)")} AS dot,
+         |  ${nrm("v")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb FROM cand)
+         |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(na*nb) END AS score
+         |FROM fs ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
     "confidence" ->
       ("SELECT doc_id, least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), " +
         "(CAST(0.2 AS DOUBLE) + least(CAST(1.0 AS DOUBLE), length(text)/CAST(1000.0 AS DOUBLE)) + " +

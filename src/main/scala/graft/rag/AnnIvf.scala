@@ -1,0 +1,75 @@
+package graft.rag
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style ANN (inverted-file coarse quantizer, as in FAISS's
+  * IVF-Flat, public design): assign every vector to its nearest
+  * coarse centroid ("cell"); a query probes only the `nprobe` cells
+  * nearest to it, then ranks candidates exactly.
+  *
+  * Scale path: the cell id is a small-int column — bucket-partitioned
+  * layout turns a probe into `nprobe` partition scans (same pushdown
+  * shape as AnnLsh, but data-adaptive). At 100 TB the centroid table
+  * comes from a sampled k-means job; in this deterministic sandbox the
+  * coarse centroids are the first `nCells` vectors of the corpus —
+  * fixed, reproducible, and shared bit-for-bit with the DuckDB oracle.
+  */
+object AnnIvf {
+
+  val NCells = 16
+  val NProbe = 2
+
+  /** deterministic coarse centroids: embeddings of the nCells smallest
+    * keys, as doubles.
+    */
+  def centroids(emb: DataFrame, keyCol: String = "vec_id",
+      embeddingCol: String = "embedding", nCells: Int = NCells): Seq[Array[Double]] =
+    emb.filter(col(keyCol) < nCells)
+      .orderBy(col(keyCol))
+      .select(col(embeddingCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+
+  /** cell = index of the max-cosine centroid; first max wins ties
+    * (same rule as the oracle's ORDER BY s DESC, cid).
+    */
+  def cellCol(e: Column, cents: Seq[Array[Double]]): Column = {
+    val scores = array(cents.map(c =>
+      Similarity.cosine(e, typedLit(c.toSeq))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** strict left-fold cosine on the driver — same IEEE op order as the
+    * Column/oracle forms, for the query-side cell ranking.
+    */
+  private[rag] def cosineJvm(a: Array[Double], b: Array[Double]): Double = {
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    val na = math.sqrt(dot(a, a))
+    val nb = math.sqrt(dot(b, b))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** the query's nprobe nearest cells (desc score, asc cid on ties). */
+  def probeCells(queryVec: Array[Double], cents: Seq[Array[Double]],
+      nprobe: Int = NProbe): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (c, i) => (cosineJvm(queryVec, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+
+  /** IVF-restricted exact top-k. */
+  def search(emb: DataFrame, queryVec: Array[Double], k: Int,
+      embeddingCol: String = "embedding", keyCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(emb, keyCol, embeddingCol)
+    val probes = probeCells(queryVec, cents)
+    TopK.search(
+      emb.filter(cellCol(col(embeddingCol), cents).isin(probes: _*)),
+      queryVec, k, embeddingCol, keyCol)
+  }
+}

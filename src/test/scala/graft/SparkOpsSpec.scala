@@ -110,6 +110,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     lsh.foreach { case (id, s) => assert(brute(id) == s) }
   }
 
+  test("ivf search returns a subset of brute-force ranking, same scores") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, HashEmbedder.embed(s"doc $i content ${i % 7}").map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = HashEmbedder.embed("doc 3 content 3")
+    val brute = TopK.search(vecs, q, 200).select("vec_id", "score")
+      .as[(Long, Double)].collect().toMap
+    val ivf = graft.rag.AnnIvf.search(vecs, q, 10).select("vec_id", "score")
+      .as[(Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, s) => assert(brute(id) == s) }
+    // every vector lands in exactly one of the NCells cells
+    val cents = graft.rag.AnnIvf.centroids(vecs)
+    val cells = vecs.select(
+      graft.rag.AnnIvf.cellCol(col("embedding"), cents)).as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < graft.rag.AnnIvf.NCells))
+  }
+
   test("store: appendDedup keeps newest row per chunk_id") {
     import spark.implicits._
     val existing = Seq(("c1", "old"), ("c2", "old")).toDF("chunk_id", "v")
