@@ -22,15 +22,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      GraftExtensions.dotProductBuilder))
   }
 }
 
 object GraftExtensions {
+
+  /** arity-checked builder: a wrong-arity SQL call gets an analysis
+    * error naming the function, not an IndexOutOfBoundsException.
+    */
+  private[graft] val dotProductBuilder: Seq[Expression] => Expression =
+    children => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "dot_product",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> ""))
+      DotProduct(children(0), children(1))
+    }
+
   /** register on an already-built session */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)),
-      "scala_udf")
+      "dot_product", dotProductBuilder, "scala_udf")
 }

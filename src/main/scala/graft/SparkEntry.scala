@@ -435,13 +435,10 @@ object Queries {
     * the bucket recall.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    import graft.rag.Similarity
-    def normalized(dir0: String, idAs: String, vAs: String) = {
-      val v = col("embedding").cast("array<double>")
-      val n = Similarity.norm(col("embedding"))
+    import graft.rag.{Similarity, VectorExprs}
+    def normalized(dir0: String, idAs: String, vAs: String) =
       SparkEntry.embeddings(s, dir0).select(col("vec_id").as(idAs),
-        when(n === 0.0, v).otherwise(transform(v, x => x / n)).as(vAs))
-    }
+        VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as(vAs))
     val e = normalized(dir, "a_id", "va")
     val f = normalized(dir, "b_id", "vb")
     e.join(f, col("a_id") < col("b_id"))

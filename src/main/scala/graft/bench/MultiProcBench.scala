@@ -94,7 +94,11 @@ object MultiProcBench {
         Seq("-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC",
           "-cp", cp, "graft.bench.MultiProcBench", "worker",
           cpusPerWorker.toString, sl.result().mkString(","))
-      new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+      // discard child stderr — an undrained pipe would block the
+      // worker once Spark logging fills the OS buffer (~64KB) and
+      // deadlock the orchestrator on readLine()
+      new ProcessBuilder(cmd: _*)
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
     }
     val outs = procs.map(p => new BufferedReader(new InputStreamReader(p.getInputStream)))
     val ins = procs.map(p => new PrintWriter(p.getOutputStream, true))
@@ -164,7 +168,8 @@ object MultiProcBench {
     val t0 = System.nanoTime()
     val procs = (0 until workers).map { _ =>
       new ProcessBuilder(javaBin, "-Xmx256m", "-cp", cp,
-        "graft.bench.MultiProcBench", "spinworker", threadsPer.toString).start()
+        "graft.bench.MultiProcBench", "spinworker", threadsPer.toString)
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
     }
     val ops = procs.map { p =>
       val o = new BufferedReader(new InputStreamReader(p.getInputStream))

@@ -11,9 +11,48 @@ package graft.extract
   *
   *  - MD012: collapse runs of >1 blank line to exactly one
   *  - MD047: file ends with exactly one trailing newline
-  *  - strip trailing whitespace on each line (MD009)
+  *  - MD009: strip trailing whitespace on each line
+  *
+  * Fenced code blocks are EXEMPT from MD012/MD009 (matching
+  * markdownlint: fence interiors pass through verbatim).
   */
 object LintNormalize {
+
+  private final class State(val out: java.lang.StringBuilder) {
+    var blanks = 0
+    var wroteAny = false
+    var inFence = false
+
+    def line(s: String, from: Int, to: Int): Unit = {
+      val opensOrCloses = to - from >= 3 &&
+        s.charAt(from) == '`' && s.charAt(from + 1) == '`' &&
+        s.charAt(from + 2) == '`'
+      if (inFence && !opensOrCloses) {
+        // verbatim inside the fence: no blank collapsing, no trailing
+        // whitespace strip
+        if (wroteAny) out.append('\n')
+        wroteAny = true
+        out.append(s, from, to)
+      } else {
+        var e = to
+        while (e > from && (s.charAt(e - 1) == ' ' || s.charAt(e - 1) == '\t')) e -= 1
+        if (e == from) blanks += 1
+        else {
+          if (wroteAny) {
+            out.append('\n')
+            if (blanks > 0) out.append('\n')
+          }
+          blanks = 0
+          wroteAny = true
+          out.append(s, from, e)
+        }
+        if (opensOrCloses) inFence = !inFence
+      }
+    }
+
+    def finish(): String =
+      if (!wroteAny) "" else out.append('\n').toString
+  }
 
   /** Fused join("\n\n") + normalize: byte-identical to
     * `normalize(elements.mkString("\n\n"))` without materializing and
@@ -21,59 +60,36 @@ object LintNormalize {
     * ~half the whole kernel's time). One pass, one output buffer.
     */
   def normalizeJoin(elements: Seq[String]): String = {
-    val out = new java.lang.StringBuilder(256)
-    var blanks = 0
-    var wroteAny = false
-    def handleLine(s: String, from: Int, to: Int): Unit = {
-      var e = to
-      while (e > from && (s.charAt(e - 1) == ' ' || s.charAt(e - 1) == '\t')) e -= 1
-      if (e == from) blanks += 1
-      else {
-        if (wroteAny) {
-          out.append('\n')
-          if (blanks > 0) out.append('\n')
-        }
-        blanks = 0
-        wroteAny = true
-        out.append(s, from, e)
-      }
-    }
+    val st = new State(new java.lang.StringBuilder(256))
     var first = true
     elements.foreach { el =>
-      if (!first) blanks += 1 // the joining blank line
+      // the joining blank line of mkString("\n\n"), routed through the
+      // same state machine so the equivalence is exact
+      if (!first) st.line("", 0, 0)
       first = false
       var start = 0
       var nl = el.indexOf('\n')
       while (nl >= 0) {
-        handleLine(el, start, nl)
+        st.line(el, start, nl)
         start = nl + 1
         nl = el.indexOf('\n', start)
       }
-      handleLine(el, start, el.length)
+      st.line(el, start, el.length)
     }
-    if (!wroteAny) "" else out.append('\n').toString
+    st.finish()
   }
 
   def normalize(md: String): String = {
-    if (md.isEmpty) return ""
-    val trimmedLines = md.split("\n", -1).map { l =>
-      var e = l.length
-      while (e > 0 && (l.charAt(e - 1) == ' ' || l.charAt(e - 1) == '\t')) e -= 1
-      l.substring(0, e)
+    if (md == null || md.isEmpty) return ""
+    val st = new State(new java.lang.StringBuilder(md.length + 1))
+    var start = 0
+    var nl = md.indexOf('\n')
+    while (nl >= 0) {
+      st.line(md, start, nl)
+      start = nl + 1
+      nl = md.indexOf('\n', start)
     }
-    val out = new StringBuilder
-    var blanks = 0
-    trimmedLines.foreach { l =>
-      if (l.isEmpty) blanks += 1
-      else {
-        if (out.nonEmpty) {
-          out.append('\n')
-          if (blanks > 0) out.append('\n')
-        }
-        blanks = 0
-        out.append(l)
-      }
-    }
-    if (out.isEmpty) "" else out.append('\n').toString
+    st.line(md, start, md.length)
+    st.finish()
   }
 }

@@ -55,11 +55,19 @@ object MarkdownEmitter {
     val out = Vector.newBuilder[String]
     var i = 0
     var lastPdfPage = -1
+    var pdfClosed = false
     while (i < kept.length) {
       val b = kept(i)
-      // close a PDF page with its separator when the page changes
+      // close a PDF page with its separator when the page changes, or
+      // when the flow leaves PDF blocks entirely (mixed-kind turns:
+      // the separator belongs to the page it closes, not to trailing
+      // HTML/plain content)
       if (b.kind == BlockKind.Pdf && lastPdfPage >= 0 && b.page != lastPdfPage)
         out += "-----"
+      if (b.kind != BlockKind.Pdf && lastPdfPage >= 0 && !pdfClosed) {
+        out += "-----"
+        pdfClosed = true
+      }
       if (b.kind == BlockKind.Pdf) lastPdfPage = b.page
 
       b match {
@@ -119,8 +127,9 @@ object MarkdownEmitter {
           i += 1
       }
     }
-    // terminate the final PDF page
-    if (lastPdfPage >= 0) out += "-----"
+    // terminate the final PDF page (unless already closed at the
+    // PDF→non-PDF transition)
+    if (lastPdfPage >= 0 && !pdfClosed) out += "-----"
     out.result()
   }
 

@@ -24,11 +24,15 @@ object AnnIvf {
     * keys, as doubles.
     */
   def centroids(emb: DataFrame, keyCol: String = "vec_id",
-      embeddingCol: String = "embedding", nCells: Int = NCells): Seq[Array[Double]] =
-    emb.filter(col(keyCol) < nCells)
-      .orderBy(col(keyCol))
+      embeddingCol: String = "embedding", nCells: Int = NCells): Seq[Array[Double]] = {
+    // first nCells rows by key — works for any orderable key domain
+    // (not just dense 0-based ids)
+    val cents = emb.orderBy(col(keyCol)).limit(nCells)
       .select(col(embeddingCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray).toSeq
+    require(cents.nonEmpty, "IVF needs a non-empty corpus for centroids")
+    cents
+  }
 
   /** cell = index of the max-cosine centroid; first max wins ties
     * (same rule as the oracle's ORDER BY s DESC, cid).

@@ -48,12 +48,14 @@ object HashEmbedder {
           .otherwise(0L)))
   }
 
-  /** L2-normalized double vector; zero-norm stays all-zero. */
-  def embedding(text: Column, dim: Int = Dim): Column = {
-    val raw = rawEmbedding(text, dim).cast("array<double>")
-    val n = Similarity.norm(raw)
-    when(n === 0.0, raw).otherwise(transform(raw, x => x / n))
-  }
+  /** L2-normalized double vector; zero-norm stays all-zero.
+    * One-pass native normalization — the composed form
+    * `transform(raw, x => x / norm(raw))` would inline the whole
+    * rawEmbedding subtree into the per-element lambda (~2×dim
+    * re-evaluations of the token-hash fold per row).
+    */
+  def embedding(text: Column, dim: Int = Dim): Column =
+    VectorExprs.l2Normalize(rawEmbedding(text, dim).cast("array<double>"))
 
   // ---- pure JVM twin (kernel/tests, and query-vector embedding) ----
 

@@ -39,19 +39,67 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals — two DotProducts in one codegen scope would
+      // otherwise redefine them and silently fall back to interpreted
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalize an `array<double>` in ONE pass (zero-norm input is
+  * returned unchanged). Exists because the composed Column form
+  * `transform(v, x => x / norm(v))` inlines the norm subtree into the
+  * per-element lambda — the whole child expression would be
+  * re-evaluated ~2×dim times per row. Fold order of the norm matches
+  * the oracle's `sqrt(list_reduce(list_transform(v, x->x*x)))`.
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    L2Normalize.eval(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.rag.L2Normalize$$.MODULE$$.eval($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object L2Normalize {
+  /** static entry for generated code */
+  def eval(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getDouble(i); acc += x * x; i += 1 }
+    val nrm = math.sqrt(acc)
+    if (nrm == 0.0) arr
+    else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = arr.getDouble(i) / nrm; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
 }
 
 object VectorExprs {
@@ -60,4 +108,8 @@ object VectorExprs {
   /** Column wrapper; callers must pass array<double> (cast upstream). */
   def dotProduct(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
+
+  /** one-pass L2 normalization of an array<double> column. */
+  def l2Normalize(a: Column): Column =
+    toColumn(L2Normalize(toExpression(a)))
 }

@@ -21,8 +21,14 @@ object SkewAgg {
     */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
       salt: Int = 16): DataFrame = {
+    // salt must be DETERMINISTIC per row content: with
+    // monotonically_increasing_id() a retried/speculated task would
+    // re-salt rows differently than the partials other reducers
+    // already fetched (SPARK-23207 class) and silently corrupt totals.
+    // Content-hash salting is stable; duplicate rows sharing a bucket
+    // is fine (sums are associative).
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(valueCol).cast("string"), monotonically_increasing_id()),
+      pmod(xxhash64(col(keyCol).cast("string"), col(valueCol).cast("string")),
         lit(salt.toLong)))
     salted.groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))

@@ -108,8 +108,11 @@ object Dedup {
     bands.count() // materialize once
     val a = bands.select(col("id").as("a_id"), col("band"), col("key"))
     val b = bands.select(col("id").as("b_id"), col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+    val pairs = a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+      .localCheckpoint() // materialize the (small) result …
+    bands.unpersist() // … so the sketch cache can be released
+    pairs
   }
 
   // ---- simhash ----
@@ -142,10 +145,13 @@ object Dedup {
     s.count() // materialize the sketch once, not per join leg
     val a = s.select(col("id").as("a_id"), col("sim").as("sa"))
     val b = s.select(col("id").as("b_id"), col("sim").as("sb"))
-    a.join(b, col("a_id") < col("b_id"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+      .localCheckpoint()
+    s.unpersist()
+    pairs
   }
 
   // ---- exact n-gram jaccard ----
@@ -165,12 +171,15 @@ object Dedup {
     val b = sh.select(col("id").as("b_id"), col("sh"))
     val common = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jaccard",
         col("common") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+      .localCheckpoint()
+    sh.unpersist()
+    pairs
   }
 }

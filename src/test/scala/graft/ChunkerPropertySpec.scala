@@ -97,7 +97,9 @@ class ChunkerPropertySpec extends AnyFunSuite {
   test("normalizeJoin is byte-identical to join + normalize") {
     val elemGen = Gen.listOf(Gen.oneOf(
       Gen.const(""), Gen.const("   "), Gen.const("# H"),
-      Gen.const("a\nb"), Gen.const("x  \n\n y\t"), Gen.asciiPrintableStr))
+      Gen.const("a\nb"), Gen.const("x  \n\n y\t"),
+      Gen.const("```\ncode  \n\n\nmore\n```"), Gen.const("```"),
+      Gen.asciiPrintableStr))
     check(Prop.forAll(elemGen) { els =>
       graft.extract.LintNormalize.normalizeJoin(els) ==
         graft.extract.LintNormalize.normalize(els.mkString("\n\n"))

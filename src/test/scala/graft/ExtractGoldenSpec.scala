@@ -51,6 +51,18 @@ class ExtractGoldenSpec extends AnyFunSuite {
     assert(LintNormalize.normalize("a  \n\n\n\nb\n\n") == "a\n\nb\n")
   }
 
+  test("lint normalize leaves fenced code interiors verbatim (MD012/MD009 exemption)") {
+    val md = "a\n\n```\ncode  \n\n\nmore\n```\n\nb"
+    assert(LintNormalize.normalize(md) == "a\n\n```\ncode  \n\n\nmore\n```\n\nb\n")
+  }
+
+  test("mixed-kind turn: page separator closes the PDF page before trailing plain text") {
+    val payload = "P0\t50,50,490,62\t10\t0\tpdf body text here\n" +
+      "this line is malformed plain text"
+    val md = ExtractPipeline.extract(payload)
+    assert(md == "pdf body text here\n\n-----\n\nthis line is malformed plain text\n")
+  }
+
   test("header histogram ranks sizes above body descending") {
     val blocks = Vector(
       Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 10.0, 0, "", 0, "x" * 100, 0),
