@@ -29,6 +29,13 @@ object Dedup {
   def wordsCol(text: Column): Column =
     regexp_extract_all(text, lit(WordRegex), lit(0))
 
+  /** rebalance to full parallelism before a compute-heavy projection —
+    * a small corpus arriving as one file would otherwise pin the whole
+    * sketch computation to its scan task
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** word 3-shingles, as strings (empty array below 3 words —
     * `sequence` would DESCEND on a negative span, so guard explicitly)
     */
@@ -90,7 +97,10 @@ object Dedup {
     // Identical values to signatureCol, but the 16×|shingles| sha256
     // calls run in whole-stage codegen instead of interpreted HOF
     // lambdas (~10x), at the cost of one (id)-keyed shuffle of longs.
-    val sh = docs
+    // repartition first: the corpus may arrive as one file → one scan
+    // task, and the 16×|shingles| sha256 projection must run at full
+    // parallelism, not scan parallelism
+    val sh = spread(docs)
       .filter(size(wordsCol(col(textCol))) >= 3)
       .select(col(idCol).as("id"), explode(shinglesCol(col(textCol))).as("sh"))
     val minCols = (0 until NumHashes).map(i =>
@@ -140,7 +150,8 @@ object Dedup {
   /** near-dup pairs by Hamming distance on SimHash. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val s = docs.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
+    val s = spread(docs)
+      .select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
       .persist()
     s.count() // materialize the sketch once, not per join leg
     val a = s.select(col("id").as("a_id"), col("sim").as("sa"))
@@ -161,7 +172,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val sh = docs
+    val sh = spread(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(shinglesCol(col(textCol)))).as("sh"))
       .persist()
