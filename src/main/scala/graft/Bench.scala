@@ -74,15 +74,23 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val benchQueries =
       if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = benchQueries.map { case (name, fn) =>
       // warm pass first (plan + codegen + JIT), then the timed pass —
       // steady-state latency is what a resident engine serves
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a query failing the timed pass is recorded as -1, never as a
+      // fast success
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors += name -> e.toString.take(200)
+          name -> -1.0
+      }
     }
     spark.stop()
 
@@ -128,9 +136,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     def f(d: Double) = f"$d%.3f"
     println(
-      s"""{"metric":"turns/sec extraction throughput (local[$highCpus]; see multiproc for the executor-model numbers)","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"warmup_sec":${f(warm)}},"multiproc":$multiproc}""")
+      s"""{"metric":"turns/sec extraction throughput (local[$highCpus]; see multiproc for the executor-model numbers)","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"warmup_sec":${f(warm)}},"multiproc":$multiproc}""")
   }
 }

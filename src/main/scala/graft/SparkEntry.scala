@@ -89,9 +89,14 @@ object SparkEntry {
     }),
 
     // ---- retrieval V1–V4, V10 ----
+    // exploded to (doc_id, dim, value) scalar rows: the driver's
+    // pandas comparator cannot sort/hash array columns, and the
+    // exploded form is lossless (every dim value compared bit-exact)
     "embed_docs" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        HashEmbedder.embedding(col("text")).as("embedding"))),
+        posexplode(HashEmbedder.embedding(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("dim"),
+          col("col").as("value"))),
     "search_topk" -> ((s, dir) =>
       TopK.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 20)
         .select("vec_id", "score")),
@@ -120,7 +125,11 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
-    "mm_meta" -> ((s, dir) => Multimodal.decodeMeta(docs(s, dir)).toDF()),
+    // frame_offsets scalarized (comma-joined) for the same
+    // pandas-comparator reason; the typed array form stays on the
+    // Dataset[MediaMeta] API
+    "mm_meta" -> ((s, dir) => Multimodal.decodeMeta(docs(s, dir)).toDF()
+      .withColumn("frame_offsets", concat_ws(",", col("frame_offsets")))),
 
     // ---- stable ordering window (north rule) + event-time agg ----
     "stable_order" -> ((s, dir) => {
@@ -134,12 +143,16 @@ object SparkEntry {
     // event-time tumbling-window aggregate (batch analog of the
     // streaming windowed agg). The value sum is carried in integer
     // micro-units so it is associative — float summation order would
-    // otherwise differ between engines/layouts.
+    // otherwise differ between engines/layouts. Emitted as DOUBLE
+    // (exact below 2^53): the driver's pandas bridge renders DuckDB's
+    // nullable BIGINT sum as float64, so an integer-typed column can
+    // never hash-match it.
     "window_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 1000000).cast("long")).as("total_micros"))),
+          sum(round(col("value") * 1000000).cast("long")).cast("double")
+            .as("total_micros"))),
 
     // ---- V9/V11: full ingest pipeline (extract → chunk → ids) ----
     "ingest_pipeline" -> ((s, dir) => {
@@ -216,7 +229,7 @@ object SparkEntry {
         "FROM events"),
     "window_agg" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
-        "count(*) AS n, sum(CAST(round(value * 1000000) AS BIGINT)) AS total_micros " +
+        "count(*) AS n, CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) AS total_micros " +
         "FROM events GROUP BY 1, 2"),
     "ingest_pipeline" ->
       (s"SELECT 'doc-'||doc_id||'_0' AS chunk_id, 'doc-'||doc_id AS document, " +
@@ -255,7 +268,8 @@ object OracleSql {
 
   val retrieval: Map[String, String] = Map(
     "embed_docs" ->
-      (s"""SELECT doc_id, CASE WHEN nrm = 0 THEN raw ELSE list_transform(raw, x -> x/nrm) END AS embedding
+      (s"""WITH emb AS (
+         |SELECT doc_id, CASE WHEN nrm = 0 THEN raw ELSE list_transform(raw, x -> x/nrm) END AS embedding
          |FROM (SELECT doc_id, raw, ${nrm("raw")} AS nrm
          |  FROM (SELECT doc_id, list_transform(range(0, 64), d ->
          |      list_reduce(list_prepend(0, list_transform(hashed,
@@ -264,7 +278,9 @@ object OracleSql {
          |    FROM (SELECT doc_id, list_transform(
          |        regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}'),
          |        t -> CAST('0x'||substr(sha256(t),1,15) AS BIGINT)) AS hashed
-         |      FROM documents)))""".stripMargin),
+         |      FROM documents))))
+         |SELECT doc_id, d AS dim, embedding[d + 1] AS value
+         |FROM emb, (SELECT unnest(range(0, 64)) AS d)""".stripMargin),
     "search_topk" ->
       (scoredCte +
         s"\nSELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 20"),
@@ -311,11 +327,12 @@ object OracleSql {
          |FROM top5 JOIN documents ON top5.vec_id = documents.doc_id""".stripMargin),
     "embed_neardup" ->
       (s"""WITH e AS (SELECT vec_id,
-         |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x/n) END AS v
+         |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x/n) END AS v,
+         |    (${AnnLsh.sqlBucketExpr("v")} & ${(1 << Queries.NeardupPlanes) - 1}) AS bucket
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, ${nrm("embedding::DOUBLE[]")} AS n
          |        FROM embeddings))
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
          |WHERE ${dot("a.v", "b.v")} >= CAST(0.4 AS DOUBLE)""".stripMargin)
   )
 
@@ -341,7 +358,8 @@ object OracleSql {
     "dedup_minhash" ->
       (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
          |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
-         |sig AS (SELECT doc_id, list_transform(range(0,16), i -> list_min(list_transform(s, x -> ${sqlHash("i||'|'||x")}))) AS sg FROM sh),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${sqlHash("x")}) AS hl FROM sh),
+         |sig AS (SELECT doc_id, list_transform(${graft.text.Dedup.sqlSeedsLiteral}, sd -> list_min(list_transform(hl, h -> ${graft.text.Dedup.sqlMix60("xor(h, sd)")}))) AS sg FROM hs),
          |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
          |  FROM sig, (SELECT unnest(range(0,4)) AS bi))
          |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -356,7 +374,9 @@ object OracleSql {
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
     "ngram_jaccard" ->
       (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s FROM w WHERE len(ws) >= 3),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s FROM w WHERE len(ws) >= 3),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+         |sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -396,7 +416,7 @@ object OracleSql {
          |  1 + (CAST('0x'||substr(sha256(text),1,2) AS INT) << 2) AS width,
          |  1 + (CAST('0x'||substr(sha256(text),3,2) AS INT) << 2) AS height,
          |  octet_length(encode(text)) // 100 + 1 AS n_frames,
-         |  list_transform(range(0, least(octet_length(encode(text)) // 100 + 1, 5)), i -> i*100) AS frame_offsets
+         |  coalesce(array_to_string(list_transform(range(0, least(octet_length(encode(text)) // 100 + 1, 5)), i -> i*100), ','), '') AS frame_offsets
          |FROM documents""".stripMargin)
   )
 }
@@ -427,23 +447,48 @@ object Queries {
     graft.rag.Confidence.overChunks(ctx, "text", RagQuery)
   }
 
-  /** Embedding-cosine near-duplicate pairs. Vectors are L2-normalized
-    * ONCE per row (O(n·dim)) so the O(n²) pair stage is dot-product
-    * only. Brute-force pairs are correct at oracle scale; the
-    * documented scale path is AnnLsh bucketing first (join on bucket,
-    * then exact dot within bucket) — same output for thresholds above
-    * the bucket recall.
+  /** planes used for near-dup blocking (lower 4 of AnnLsh's 8 — fewer
+    * planes = coarser buckets = higher recall at a moderate-cosine
+    * threshold; at larger corpus scale raise planes to keep buckets
+    * bounded and add probe tables instead)
+    */
+  val NeardupPlanes = 4
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucket blocked with
+    * hamming-1 multiprobe: vectors are L2-normalized ONCE per row and
+    * keyed by the sign pattern of `NeardupPlanes` fixed hyperplanes
+    * (AnnLsh); the A-leg explodes into the exact bucket plus its
+    * single-bit flips, so pairs whose buckets differ in ≤1 plane meet
+    * in an EQUI-join, then the exact dot product verifies the
+    * threshold. The bucket key makes this a hash-partitioned shuffle
+    * join — the round-1 `a_id < b_id` θ-join was a
+    * BroadcastNestedLoopJoin cartesian, O(n²) at scale. Blocking
+    * trades recall: a pair collides iff its buckets differ in ≤1
+    * plane (P = p^k + k·p^(k−1)(1−p), p = 1 − θ/π); each qualifying
+    * pair meets on exactly one key, so no distinct is needed. The
+    * DuckDB oracle applies the identical bucket + hamming-≤1 rule.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    import graft.rag.{Similarity, VectorExprs}
-    def normalized(dir0: String, idAs: String, vAs: String) =
-      SparkEntry.embeddings(s, dir0).select(col("vec_id").as(idAs),
-        VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as(vAs))
-    val e = normalized(dir, "a_id", "va")
-    val f = normalized(dir, "b_id", "vb")
-    e.join(f, col("a_id") < col("b_id"))
+    import graft.rag.{AnnLsh, Similarity, VectorExprs}
+    val bucketMask = (1 << NeardupPlanes) - 1
+    val base = SparkEntry.embeddings(s, dir).select(col("vec_id"),
+      VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as("v"),
+      AnnLsh.bucketCol(col("embedding").cast("array<double>"))
+        .bitwiseAND(lit(bucketMask)).as("bucket"))
+      .persist()
+    base.count() // materialize the normalized sketch once, not per leg
+    val probes = array((col("bucket") +:
+      (0 until NeardupPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val e = base.select(col("vec_id").as("a_id"), col("v").as("va"),
+      explode(probes).as("key"))
+    val f = base.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("bucket").as("key"))
+    val pairs = e.join(f, Seq("key")).filter(col("a_id") < col("b_id"))
       .filter(Similarity.dot(col("va"), col("vb")) >= threshold)
       .select("a_id", "b_id")
+      .localCheckpoint()
+    base.unpersist()
+    pairs
   }
 
   /** North-rule correctness gate: distributed fixture generation →

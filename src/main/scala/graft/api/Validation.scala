@@ -51,13 +51,26 @@ object Validation {
     else Valid
 
   /** S4 — path sandbox (simple_server.py:98-150): resolved path must
-    * live under one of the allowed roots.
+    * live under one of the allowed roots. Resolution follows symlinks
+    * (like the reference's Path.resolve()) — a symlink inside an
+    * allowed root pointing outside it must NOT pass. For path segments
+    * that do not exist yet, the deepest existing ancestor is resolved
+    * and the remainder appended lexically, matching Python's
+    * Path.resolve(strict=False).
     */
   def validateSandboxed(path: String, allowedRoots: Seq[String]): Result = {
-    val resolved = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    def real(p: java.nio.file.Path): java.nio.file.Path =
+      try p.toRealPath()
+      catch {
+        case _: java.io.IOException =>
+          val parent = p.getParent
+          if (parent == null) p
+          else real(parent).resolve(p.getFileName)
+      }
+    val resolved = real(java.nio.file.Paths.get(path).toAbsolutePath.normalize)
     val ok = allowedRoots.exists { root =>
       resolved.startsWith(
-        java.nio.file.Paths.get(root).toAbsolutePath.normalize)
+        real(java.nio.file.Paths.get(root).toAbsolutePath.normalize))
     }
     if (ok) Valid else Invalid(s"path outside allowed roots: $resolved")
   }

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.extract.ExtractPipeline
 
@@ -18,9 +18,13 @@ import graft.extract.ExtractPipeline
   *
   * Work unit = hash partition `pmod(xxhash64(conv_id), numPartitions)`.
   * Commit protocol per batch of partitions:
-  *   1. write extracted rows partitionBy(partition_id), dynamic
+  *   1. append one 'started' manifest row per partition (attempt
+  *      lineage: a crash before completion leaves the started row, so
+  *      the resume's attempt counter increments);
+  *   2. write extracted rows partitionBy(partition_id), dynamic
   *      partition overwrite → idempotent re-run of any partition;
-  *   2. append one manifest row per completed partition (status=done).
+  *   3. append one 'done' manifest row per completed partition
+  *      (rows_in from the input batch, rows_out/ok/err from the output).
   * Resume = left_anti join of the partition domain against
   * `manifest.status='done'` — exactly the not-yet-committed work,
   * regardless of where the previous run died. A partition that was
@@ -76,41 +80,56 @@ object Manifest {
         .collect().map(_.getInt(0))
       if (todo.isEmpty) return processed
       val started = new java.sql.Timestamp(System.currentTimeMillis())
-      val attempt = 1 + manifest.filter(col("partition_id").isin(todo: _*))
+      // attempt counts PRIOR 'started' rows for these partitions — a
+      // crash between the started append and the done append leaves the
+      // started row behind, so a resume records attempt 2, not 1
+      val attempt = 1 + manifest.filter(col("partition_id").isin(todo: _*)
+          && col("status") === "started")
         .agg(coalesce(max("attempt"), lit(0))).collect()(0).getInt(0)
 
+      import spark.implicits._
       val batch = withPid.filter(col("partition_id").isin(todo: _*))
+      // rows_in comes from the INPUT batch (what this attempt was
+      // handed), independent of what extraction emits
+      val inCounts = batch.groupBy("partition_id")
+        .agg(count(lit(1)).as("rows_in"))
+      def manifestRows(status: String, stats: DataFrame,
+          finishedTs: Column): DataFrame =
+        todo.toSeq.toDF("partition_id")
+          .join(inCounts, Seq("partition_id"), "left")
+          .join(stats, Seq("partition_id"), "left")
+          .na.fill(0L, Seq("rows_in", "rows_out", "ok_rows", "err_rows"))
+          .withColumn("status", lit(status))
+          .withColumn("started_ts", lit(started))
+          .withColumn("finished_ts", finishedTs)
+          .withColumn("attempt", lit(attempt))
+          .select("partition_id", "status", "rows_in", "rows_out", "ok_rows",
+            "err_rows", "started_ts", "finished_ts", "attempt")
+      val noStats = spark.range(0).select(col("id").cast("int").as("partition_id"),
+        lit(0L).as("rows_out"), lit(0L).as("ok_rows"), lit(0L).as("err_rows"))
+      // 1. intent commit: one 'started' row per partition (attempt
+      // lineage; ignored by pending(), which keys on status='done')
+      manifestRows("started", noStats, lit(null).cast("timestamp"))
+        .write.mode(SaveMode.Append).parquet(manifestDir)
+
       val extracted = ExtractPipeline.overTranscripts(
         batch.select("conv_id", "turn_idx", "partition_id", "text"))
-      // 1. data commit (idempotent: dynamic overwrite by partition)
+      // 2. data commit (idempotent: dynamic overwrite by partition)
       extracted.write.mode(SaveMode.Overwrite)
         .partitionBy("partition_id").parquet(outDir)
-      // 2. manifest commit (lineage + metrics per partition). The row
+      // 3. manifest commit (lineage + metrics per partition). The row
       // domain is `todo`, NOT the written data — an EMPTY partition
       // must still be marked done or resume would retry it forever.
       val finished = new java.sql.Timestamp(System.currentTimeMillis())
-      import spark.implicits._
-      val stats = scala.util.Try(spark.read.parquet(outDir))
+      val outStats = scala.util.Try(spark.read.parquet(outDir))
         .map(_.filter(col("partition_id").isin(todo: _*))
           .groupBy("partition_id").agg(
-            count(lit(1)).as("rows_in"),
             count(lit(1)).as("rows_out"),
             count(when(col("status") === "ok", 1)).as("ok_rows"),
             count(when(col("status") === "err", 1)).as("err_rows")))
-        .getOrElse(spark.emptyDataFrame
-          .select(lit(0).as("partition_id"), lit(0L).as("rows_in"),
-            lit(0L).as("rows_out"), lit(0L).as("ok_rows"), lit(0L).as("err_rows"))
-          .limit(0))
-      val metrics = todo.toSeq.toDF("partition_id")
-        .join(stats, Seq("partition_id"), "left")
-        .na.fill(0L, Seq("rows_in", "rows_out", "ok_rows", "err_rows"))
-        .withColumn("status", lit("done"))
-        .withColumn("started_ts", lit(started))
-        .withColumn("finished_ts", lit(finished))
-        .withColumn("attempt", lit(attempt))
-        .select("partition_id", "status", "rows_in", "rows_out", "ok_rows",
-          "err_rows", "started_ts", "finished_ts", "attempt")
-      metrics.write.mode(SaveMode.Append).parquet(manifestDir)
+        .getOrElse(noStats)
+      manifestRows("done", outStats, lit(finished))
+        .write.mode(SaveMode.Append).parquet(manifestDir)
       processed += todo.length
       batches += 1
     }

@@ -21,15 +21,21 @@ object SkewAgg {
     */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
       salt: Int = 16): DataFrame = {
-    // salt must be DETERMINISTIC per row content: with
+    // salt must be DETERMINISTIC per row: with
     // monotonically_increasing_id() a retried/speculated task would
     // re-salt rows differently than the partials other reducers
     // already fetched (SPARK-23207 class) and silently corrupt totals.
-    // Content-hash salting is stable; duplicate rows sharing a bucket
-    // is fine (sums are associative).
+    // Hashing (key, value) alone degenerates when the hot key's value
+    // column has low cardinality (every ("hot", 1) row lands in ONE
+    // bucket — the very skew being mitigated), so the input partition
+    // id is mixed in: it is stable under task retry (a re-run recomputes
+    // the same split) and spreads identical rows across buckets.
+    // Residual limit: low-cardinality values WITHIN one input partition
+    // still share a bucket, which is bounded by partition size, not key
+    // frequency.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(keyCol).cast("string"), col(valueCol).cast("string")),
-        lit(salt.toLong)))
+      pmod(xxhash64(col(keyCol).cast("string"), col(valueCol).cast("string"),
+        spark_partition_id()), lit(salt.toLong)))
     salted.groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(keyCol))

@@ -17,10 +17,11 @@ import graft.rag.HashEmbedder
   * digest (map-side combine, shuffle is digest+ids only, never text).
   * MinHash pairs shuffle only (band_key → doc_id) tuples — the classic
   * inverted-index join; candidate verification happens after the
-  * band-bucket blocking, never all-pairs. SimHash pair join at full
-  * scale keys on rotated hash prefixes (Manku); here the corpus is
-  * small enough for the direct pair join, and the prefix-blocking path
-  * is the same join with a coarser key.
+  * band-bucket blocking, never all-pairs. SimHash pairs equi-join on
+  * the pigeonhole block decomposition (Manku et al., WWW 2007) — exact
+  * blocking, no cartesian. The n-gram Jaccard index is df-capped so a
+  * single boilerplate shingle cannot quadratically blow up the
+  * candidate join.
   */
 object Dedup {
 
@@ -48,10 +49,83 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** 60-bit seeded shingle hash (seed folded into the sha input). */
-  def seededHash(seed: Column, s: Column): Column =
-    conv(substring(sha2(concat_ws("|", seed, s), 256), 1, 15), 16, 10)
-      .cast("long")
+  // ---- seeded hashing: ONE sha256 per shingle, seeds derived by
+  // integer mixing ------------------------------------------------
+  //
+  // Round-1 hashed sha256(seed|shingle) per seed — 16 full digests per
+  // shingle, 51% of the whole bench. The standard fix (e.g. Spark's
+  // own MinHashLSH, which derives its hash family from one base hash
+  // via (a·h+b) mod p) is to digest the shingle ONCE and derive the k
+  // seeded values by cheap integer mixing. Mixing is splitmix64-style
+  // (Steele et al., OOPSLA 2014) reduced to the 60-bit space
+  // [0, 2^60): DuckDB BIGINT arithmetic is overflow-CHECKED, so the
+  // multiply runs through HUGEINT mod 2^60 there, while the JVM's
+  // wrapping multiply masked to 60 bits computes the identical value
+  // (2^60 divides 2^64).
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  val Mask60: Long = (1L << 60) - 1
+  val MixC1: Long = 0xbf58476d1ce4e5b9L & Mask60 // odd ⇒ bijective mod 2^60
+  val MixC2: Long = 0x94d049bb133111ebL & Mask60 // odd ⇒ bijective mod 2^60
+
+  private def splitmix64(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** per-seed xor constants, splitmix64(i) in the 60-bit space */
+  val Seeds: Seq[Long] = (0 until NumHashes).map(i => splitmix64(i.toLong) & Mask60)
+
+  /** 60-bit base hash of a shingle (first 15 sha256 hex digits). */
+  def shingleHash(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+  /** z·c mod 2^60 without 64-bit overflow (Spark 4 runs ANSI mode, so
+    * a wrapping multiply would throw): split both operands into 30-bit
+    * halves — z·c ≡ zl·cl + 2^30·((zh·cl + zl·ch) mod 2^30) (mod 2^60),
+    * every intermediate < 2^61. The constant's halves fold at compile
+    * time.
+    */
+  private def mulMod60(z: Column, c: Long): Column = {
+    val lo30 = (1L << 30) - 1
+    val cl = c & lo30
+    val ch = c >>> 30
+    val zl = z.bitwiseAND(lit(lo30))
+    val zh = shiftrightunsigned(z, 30)
+    val cross = (zh * lit(cl) + zl * lit(ch)).bitwiseAND(lit(lo30))
+    (zl * lit(cl) + shiftleft(cross, 30)).bitwiseAND(lit(Mask60))
+  }
+
+  /** splitmix-style avalanche in [0, 2^60): two xorshift-multiply
+    * rounds + final xorshift. Input must be < 2^60.
+    */
+  def mix60(z0: Column): Column = {
+    val z1 = mulMod60(z0.bitwiseXOR(shiftrightunsigned(z0, 30)), MixC1)
+    val z2 = mulMod60(z1.bitwiseXOR(shiftrightunsigned(z1, 27)), MixC2)
+    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+  }
+
+  /** seeded hash of a pre-hashed shingle: mix(h ⊕ seed_i). */
+  def seededHash(seed: Column, h: Column): Column =
+    mix60(h.bitwiseXOR(seed))
+
+  // ---- DuckDB twins of the mixing (shared with the oracle SQL) ----
+
+  /** the same mix60 as SQL; BIGINT-safe via HUGEINT mod 2^60. */
+  def sqlMix60(z0: String): String = {
+    val m = "1152921504606846976" // 2^60
+    val s1 = s"((xor($z0, ($z0) >> 30)::HUGEINT * ${MixC1}::HUGEINT) % $m::HUGEINT)::BIGINT"
+    val s2 = s"((xor($s1, ($s1) >> 27)::HUGEINT * ${MixC2}::HUGEINT) % $m::HUGEINT)::BIGINT"
+    s"xor($s2, ($s2) >> 31)"
+  }
+
+  /** the Seeds constants as a DuckDB list literal */
+  def sqlSeedsLiteral: String = Seeds.mkString("[", ",", "]")
 
   // ---- exact ----
 
@@ -63,25 +137,26 @@ object Dedup {
 
   // ---- minhash + banded LSH ----
 
-  val NumHashes = 16
-  val Bands = 4
-  val RowsPerBand = 4
-
-  /** MinHash signature: sig[i] = min over shingles of hash_i.
+  /** MinHash signature: sig[i] = min over shingles of mix(h(s) ⊕ seed_i);
+    * null for documents with fewer than 3 words (no shingles — keeping
+    * them would band-collide every short document with every other).
     *
-    * Shaped as a SINGLE fold over the shingle array — each shingle is
-    * materialized and hashed exactly once per seed. (The naive
-    * `transform(seeds, i -> array_min(transform(shingles, ...)))`
-    * re-evaluates the whole shingle subtree per seed: Catalyst inlines
-    * aliased subtrees into lambda bodies, so lambda-nested
+    * Shaped as a SINGLE fold over the pre-hashed shingle array — each
+    * shingle is materialized and sha256'd exactly once, with the 16
+    * seeded values derived by integer mixing of the lambda-bound hash.
+    * (The naive `transform(seeds, i -> array_min(transform(shingles,
+    * ...)))` re-evaluates the whole shingle subtree per seed: Catalyst
+    * inlines aliased subtrees into lambda bodies, so lambda-nested
     * array-building work multiplies by the outer arity.)
     */
   def signatureCol(text: Column): Column = {
     val maxSig = typedLit(Seq.fill(NumHashes)(Long.MaxValue))
-    aggregate(shinglesCol(text), maxSig, (acc, s) =>
-      zip_with(acc,
-        transform(sequence(lit(0), lit(NumHashes - 1)), i => seededHash(i, s)),
-        (a, h) => least(a, h)))
+    val seeds = typedLit(Seeds)
+    val hashed = transform(shinglesCol(text), s => shingleHash(s))
+    val sig = aggregate(hashed, maxSig, (acc, h) =>
+      zip_with(acc, seeds, (a, sd) => least(a, seededHash(sd, h))))
+    when(size(wordsCol(text)) >= 3, sig)
+      .otherwise(lit(null).cast("array<bigint>"))
   }
 
   /** candidate pairs: same (band, band_key) bucket for any band.
@@ -92,19 +167,21 @@ object Dedup {
     * sha256 signature pipeline into BOTH join legs.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // signatures via the relational path: explode shingles, hash each
-    // seed as a codegen'd projected column, min-aggregate per doc.
-    // Identical values to signatureCol, but the 16×|shingles| sha256
-    // calls run in whole-stage codegen instead of interpreted HOF
-    // lambdas (~10x), at the cost of one (id)-keyed shuffle of longs.
-    // repartition first: the corpus may arrive as one file → one scan
-    // task, and the 16×|shingles| sha256 projection must run at full
+    // signatures via the relational path: explode shingles, sha256
+    // each shingle ONCE as a codegen'd projected column, derive the 16
+    // seeded values by integer mixing, min-aggregate per doc.
+    // Identical values to signatureCol (both paths skip <3-word docs —
+    // signatureCol nulls them), but runs in whole-stage codegen instead
+    // of interpreted HOF lambdas, at the cost of one (id)-keyed shuffle
+    // of longs. repartition first: the corpus may arrive as one file →
+    // one scan task, and the sha256 projection must run at full
     // parallelism, not scan parallelism
     val sh = spread(docs)
       .filter(size(wordsCol(col(textCol))) >= 3)
       .select(col(idCol).as("id"), explode(shinglesCol(col(textCol))).as("sh"))
+      .select(col("id"), shingleHash(col("sh")).as("h"))
     val minCols = (0 until NumHashes).map(i =>
-      min(seededHash(lit(i), col("sh"))).as(s"s_$i"))
+      min(seededHash(lit(Seeds(i)), col("h"))).as(s"s_$i"))
     val sigs = sh.groupBy("id").agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until NumHashes).map(i => col(s"s_$i")): _*).as("sig"))
@@ -147,19 +224,41 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** near-dup pairs by Hamming distance on SimHash. */
+  /** near-dup pairs by Hamming distance on SimHash, blocked by the
+    * pigeonhole decomposition of Manku et al. (WWW 2007, §3): split
+    * the 60-bit hash into `maxHamming + 1` equal blocks — any pair
+    * within Hamming ≤ maxHamming must agree EXACTLY on at least one
+    * block — equi-join on (block, block_value), verify full Hamming
+    * inside the bucket. Output is identical to the all-pairs θ-join
+    * (the blocking is exact, not approximate), but the join is an
+    * Exchange on a 15-bit key instead of an O(n²) cartesian.
+    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(SimBits % nBlocks == 0,
+      s"SimBits=$SimBits must divide into ${nBlocks} equal pigeonhole blocks")
+    val width = SimBits / nBlocks
+    val blockMask = (1L << width) - 1
     val s = spread(docs)
       .select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
       .persist()
     s.count() // materialize the sketch once, not per join leg
-    val a = s.select(col("id").as("a_id"), col("sim").as("sa"))
-    val b = s.select(col("id").as("b_id"), col("sim").as("sb"))
-    val pairs = a.join(b, col("a_id") < col("b_id"))
+    val blocks = s.select(col("id"), col("sim"),
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("sim"), b * width)
+            .bitwiseAND(lit(blockMask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
+    val a = blocks.select(col("id").as("a_id"), col("sim").as("sa"),
+      col("blk"), col("key"))
+    val b = blocks.select(col("id").as("b_id"), col("sim").as("sb"),
+      col("blk"), col("key"))
+    val pairs = a.join(b, Seq("blk", "key")).filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+      .distinct() // a pair can agree on several blocks
       .localCheckpoint()
     s.unpersist()
     pairs
@@ -169,12 +268,27 @@ object Dedup {
 
   /** exact Jaccard over distinct 3-shingle sets, blocked by the
     * shared-shingle inverted index (never all-pairs).
+    *
+    * `maxDf` caps the document frequency of an index shingle: a
+    * boilerplate "stop shingle" appearing in d documents contributes
+    * d² candidate rows to the join — one hot shingle at 1% of a 100 TB
+    * corpus would dominate the whole shuffle. Shingles above the cap
+    * are dropped from the universe (index AND set sizes — as if they
+    * did not exist), so reported Jaccard is over the capped shingle
+    * space; pairs held together only by ubiquitous boilerplate lose
+    * score, which is the standard trade (df-capped similarity join).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = spread(docs)
+      threshold: Double, maxDf: Int = 100): DataFrame = {
+    val all = spread(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(shinglesCol(col(textCol)))).as("sh"))
+    // df-cap via a broadcast-able hot list: hot shingles are by
+    // definition few (≤ corpus/maxDf distinct values), so the
+    // anti-join is a broadcast, not a shuffle of the index
+    val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val sh = all.join(broadcast(hot), Seq("sh"), "left_anti")
       .persist()
     sh.count() // shared by sizes + both join legs
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
