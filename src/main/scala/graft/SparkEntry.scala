@@ -27,6 +27,9 @@ object SparkEntry {
   private[graft] def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ExtractPipeline.overDocuments(docs(spark, "/root/testdata/sf0.001"))
@@ -52,6 +55,13 @@ object SparkEntry {
     }),
     "chunk_tokens" -> ((s, dir) => ChunkOps.byTokens(docs(s, dir)).toDF()),
     "chunk_at_commands" -> ((s, dir) => ChunkOps.byAtCommands(docs(s, dir)).toDF()),
+    // multi-chunk gates: synthesized documents that FORCE the chunker's
+    // split paths (round-1 oracles only ever produced one `_0` chunk per
+    // doc, leaving K1/K3/K4 split logic invisible to the driver gate)
+    "chunk_sections_multi" -> ((s, dir) =>
+      ChunkOps.sections(Queries.headingDocs(docs(s, dir))).toDF()),
+    "chunk_overflow_multi" -> ((s, dir) =>
+      ChunkOps.sections(Queries.overflowDocs(docs(s, dir))).toDF()),
     "chunk_meta" -> ((s, dir) => {
       val d = docs(s, dir)
       ChunkOps.metaColumns(col("text")).foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -111,6 +121,30 @@ object SparkEntry {
         Confidence.perRow(col("text"), Queries.RagQuery).as("confidence"))),
     "rag_query" -> ((s, dir) => Queries.ragQuery(s, dir)),
     "embed_neardup" -> ((s, dir) => Queries.embedNearDup(s, dir, 0.4)),
+    // V4's metadata-filter path (vector_store.py:137-139 `where`):
+    // the conjunctive equality filter lands BELOW the score projection,
+    // reaching the scan as a pushed predicate — only matching rows are
+    // ever scored
+    "search_topk_filtered" -> ((s, dir) =>
+      TopK.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 10,
+        metaFilter = col("label") === 1)
+        .select("vec_id", "label", "score")),
+    // IVF write-time cell assignment (the ingest half of the IVF
+    // contract: the cell id is a persisted small-int column, so a
+    // probe is partition pruning, not per-query recomputation)
+    "ivf_assign" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      e.select(col("vec_id"),
+        AnnIvf.cellCol(col("embedding"), AnnIvf.centroids(e)).as("cell"))
+    }),
+    // IVF with k-means-trained centroids (sampled Lloyd, deterministic;
+    // no SQL oracle — centroid training is not SQL-expressible — so the
+    // driver records rows-only; recall vs brute force is ScalaTest-gated)
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      AnnIvf.searchKmeans(e, Queries.queryVec(s, dir), k = 10)
+        .select("vec_id", "score")
+    }),
 
     // ---- training-data pipeline: dedup / text analysis / multimodal ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
@@ -153,6 +187,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 1000000).cast("long")).cast("double")
             .as("total_micros"))),
+
+    // ---- relational/join coverage over the TPC-H-shaped tables ----
+    // (the shuffle/broadcast story a 100 TB deployment lives on:
+    // partial-agg sums over the fact table, broadcast hash joins on
+    // dims, sort-merge on fact⋈fact — all money math in integer cents
+    // so engines agree bit-for-bit)
+    "tpch_pricing" -> ((s, dir) => Queries.tpchPricing(s, dir)),
+    "tpch_top_orders" -> ((s, dir) => Queries.tpchTopOrders(s, dir)),
+    "tpch_region_stats" -> ((s, dir) => Queries.tpchRegionStats(s, dir)),
 
     // ---- V9/V11: full ingest pipeline (extract → chunk → ids) ----
     "ingest_pipeline" -> ((s, dir) => {
@@ -231,6 +274,67 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
         "count(*) AS n, CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) AS total_micros " +
         "FROM events GROUP BY 1, 2"),
+    // multi-chunk gates: content fully determined by construction, so
+    // the oracle enumerates each chunk the Scala kernel must produce
+    "chunk_sections_multi" ->
+      (s"""WITH c AS (
+         |  SELECT doc_id, 0 AS chunk_index, CAST(NULL AS VARCHAR) AS section,
+         |    'Intro for doc '||doc_id||'.' AS content, 0 AS start_char, 1 AS end_char FROM documents
+         |  UNION ALL SELECT doc_id, 1, 'Alpha',
+         |    '# Alpha'||chr(10)||'Alpha body '||doc_id, 1, 3 FROM documents
+         |  UNION ALL SELECT doc_id, 2, 'Beta',
+         |    '# Beta'||chr(10)||'Beta body '||doc_id, 3, 5 FROM documents)
+         |SELECT 'doc-'||doc_id||'_'||chunk_index AS chunk_id, 'doc-'||doc_id AS document,
+         |  chunk_index, section, content, start_char, end_char,
+         |  len(regexp_extract_all(content, '$TokRe')) AS token_count,
+         |  '' AS at_commands, 0 AS at_command_count,
+         |  false AS has_code_blocks,
+         |  (contains(content, '|') AND contains(content, chr(10))) AS has_tables
+         |FROM c""".stripMargin),
+    "chunk_overflow_multi" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    'a'||doc_id||' '||repeat('tok ', 400)||'one.' AS l1,
+         |    'b'||doc_id||' '||repeat('tok ', 400)||'two.' AS l2,
+         |    'c'||doc_id||' short tail three.' AS l3 FROM documents),
+         |c AS (
+         |  SELECT doc_id, 0 AS chunk_index, l1||chr(10)||l2 AS content,
+         |    -1 AS start_char, 1 AS end_char FROM base
+         |  UNION ALL SELECT doc_id, 1, l3, 2, 3 FROM base)
+         |SELECT 'doc-'||doc_id||'_'||chunk_index AS chunk_id, 'doc-'||doc_id AS document,
+         |  chunk_index, CAST(NULL AS VARCHAR) AS section, content, start_char, end_char,
+         |  len(regexp_extract_all(content, '$TokRe')) AS token_count,
+         |  '' AS at_commands, 0 AS at_command_count,
+         |  false AS has_code_blocks,
+         |  (contains(content, '|') AND contains(content, chr(10))) AS has_tables
+         |FROM c""".stripMargin),
+    // TPC-H-shaped relational coverage; money math in integer cents /
+    // cent-percent units, final sums as DOUBLE for the pandas bridge
+    "tpch_pricing" ->
+      ("""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sum_base_cents,
+         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) AS sum_disc_cp,
+         |  count(*) AS n
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+         |GROUP BY 1, 2""".stripMargin),
+    "tpch_top_orders" ->
+      ("""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) AS revenue_cp
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         |GROUP BY 1, 2
+         |ORDER BY revenue_cp DESC, l_orderkey LIMIT 10""".stripMargin),
+    "tpch_region_stats" ->
+      ("""SELECT r_name, n_name, count(*) AS n_customers,
+         |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) AS acctbal_cents
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin),
     "ingest_pipeline" ->
       (s"SELECT 'doc-'||doc_id||'_0' AS chunk_id, 'doc-'||doc_id AS document, " +
         "text || chr(10) AS content, " +
@@ -284,6 +388,22 @@ object OracleSql {
     "search_topk" ->
       (scoredCte +
         s"\nSELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 20"),
+    "search_topk_filtered" ->
+      (s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, label, ${dot("embedding::DOUBLE[]", "(SELECT qe FROM q)")} AS dot,
+         |  ${nrm("embedding::DOUBLE[]")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb
+         |  FROM embeddings WHERE label = 1)
+         |SELECT vec_id, label, $scoreCase AS score FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    "ivf_assign" -> {
+      def cos(a: String, b: String) =
+        s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < ${graft.rag.AnnIvf.NCells}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c)
+         |SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1""".stripMargin
+    },
     "ann_lsh" ->
       (s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
          |c AS (SELECT vec_id, embedding FROM embeddings
@@ -490,6 +610,96 @@ object Queries {
     base.unpersist()
     pairs
   }
+
+  /** synthetic multi-section docs: intro line + two headed sections →
+    * the section chunker MUST emit 3 chunks per document (split on
+    * each heading; chunking.py:44-114 semantics). Content is fully
+    * determined, so the DuckDB oracle enumerates the chunks exactly.
+    */
+  def headingDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("Intro for doc "), col("doc_id"),
+        lit(".\n# Alpha\nAlpha body "), col("doc_id"),
+        lit("\n# Beta\nBeta body "), col("doc_id")).as("text"))
+
+  /** synthetic over-budget docs: two ~400-token sentence-final lines +
+    * a short tail → the first two lines overflow maxTokens=512 and the
+    * boundary splitter (chunking.py:262-284) cuts at the last
+    * sentence-final line, yielding 2 chunks per document. (start_char
+    * -1 on the split chunk mirrors the reference's line-index
+    * bookkeeping quirk.)
+    */
+  def overflowDocs(docs: DataFrame): DataFrame = {
+    val filler = repeat(lit("tok "), 400)
+    docs.select(col("doc_id"),
+      concat(lit("a"), col("doc_id"), lit(" "), filler, lit("one.\n"),
+        lit("b"), col("doc_id"), lit(" "), filler, lit("two.\n"),
+        lit("c"), col("doc_id"), lit(" short tail three.")).as("text"))
+  }
+
+  // ---- TPC-H-shaped relational queries ----
+  //
+  // Money columns are 2-decimal doubles; every aggregate converts to
+  // integer cents per row FIRST (round(x·100) is exact — the true value
+  // is an integer, never a rounding .5 boundary), so sums are
+  // associative integers and Spark/DuckDB agree bit-for-bit regardless
+  // of combine order. Discounted revenue stays exact as
+  // cents × (100 − discount%) "cent-percent" units.
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** Q1-shaped pricing summary: one wide partial-agg over the fact
+    * table — map-side combine does almost all the work; the shuffle
+    * carries |flags×status| rows per task. The 100 TB shape.
+    */
+  def tpchPricing(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") <= lit("1998-09-01").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).cast("double").as("sum_base_cents"),
+        sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).cast("double").as("sum_disc_cp"),
+        count(lit(1)).as("n"))
+
+  /** Q3-shaped: filtered dims join the fact, agg, top-10. customer is
+    * broadcast (small after the segment filter); lineitem⋈orders is
+    * the genuine fact⋈fact shuffle join; the top-10 is
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def tpchTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = SparkEntry.tbl(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = SparkEntry.tbl(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") < lit("1998-06-01").cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = SparkEntry.tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") > lit("1998-06-01").cast("date"))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("rev_cp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(col("rev_cp")).cast("double").as("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** star-shaped dim rollup: nation and region are broadcast hash
+    * joins (tiny dims — never shuffle the fact side for them).
+    */
+  def tpchRegionStats(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.tbl(s, dir, "customer")
+      .join(broadcast(SparkEntry.tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(SparkEntry.tbl(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).cast("double").as("acctbal_cents"))
 
   /** North-rule correctness gate: distributed fixture generation →
     * extraction → equality join vs golden (FIXTURES.md §3). Output:

@@ -76,4 +76,90 @@ object AnnIvf {
       emb.filter(cellCol(col(embeddingCol), cents).isin(probes: _*)),
       queryVec, k, embeddingCol, keyCol)
   }
+
+  // ---- k-means coarse quantizer (the production centroid path) ----
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Deterministic sampled spherical k-means, the FAISS-style training
+    * recipe: take a bounded deterministic sample (smallest xxhash64 of
+    * the key — order-free, reproducible across partitionings), init by
+    * farthest-point traversal (Gonzalez 1985 — spreads seeds across
+    * the data, unlike first-N keys which mirror ingest order), then
+    * Lloyd iterations with cosine assignment. Training is
+    * driver-local over ≤ maxSample·dim doubles — the same "train on a
+    * sample, assign distributed" split a 100 TB corpus uses, since
+    * centroid quality needs samples, not the full corpus.
+    */
+  def kmeansCentroids(emb: DataFrame, nCells: Int = NCells, iters: Int = 5,
+      maxSample: Int = 4096, keyCol: String = "vec_id",
+      embeddingCol: String = "embedding"): Seq[Array[Double]] = {
+    val sample = emb
+      .select(col(embeddingCol).cast("array<double>").as("v"),
+        xxhash64(col(keyCol)).as("h"))
+      .orderBy(col("h")) // TakeOrdered: per-partition heap, no full sort
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](0).toArray).map(normalize)
+    require(sample.nonEmpty, "k-means needs a non-empty corpus")
+    val k = math.min(nCells, sample.length)
+    // farthest-point init: seed with sample(0), then repeatedly take
+    // the point with the smallest max-dot (= farthest by cosine) to
+    // the chosen set; ties resolve to the lowest sample index
+    val cents = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (cents.length < k) {
+      val next = sample.indices.minBy { i =>
+        (cents.map(c => dotJvm(sample(i), c)).max, i)
+      }
+      cents += sample(next)
+    }
+    var cs = cents.toArray.map(normalize)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val cell = assignJvm(v, cs)
+        counts(cell) += 1
+        var d = 0
+        while (d < v.length) { sums(cell)(d) += v(d); d += 1 }
+      }
+      cs = cs.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old else normalize(sums(i))
+      }
+    }
+    cs.toSeq
+  }
+
+  private[rag] def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** nearest centroid by cosine; first max wins ties (cellCol rule) */
+  private[rag] def assignJvm(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val s = cosineJvm(v, cs(i))
+      if (s > bestScore) { best = i; bestScore = s }
+      i += 1
+    }
+    best
+  }
+
+  /** IVF top-k over k-means-trained cells. */
+  def searchKmeans(emb: DataFrame, queryVec: Array[Double], k: Int,
+      embeddingCol: String = "embedding", keyCol: String = "vec_id"): DataFrame = {
+    val cents = kmeansCentroids(emb, keyCol = keyCol, embeddingCol = embeddingCol)
+    val probes = probeCells(queryVec, cents)
+    TopK.search(
+      emb.filter(cellCol(col(embeddingCol), cents).isin(probes: _*)),
+      queryVec, k, embeddingCol, keyCol)
+  }
 }

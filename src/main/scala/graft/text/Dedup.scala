@@ -166,7 +166,8 @@ object Dedup {
     * sketch table), and it stops Catalyst from inlining the full
     * sha256 signature pipeline into BOTH join legs.
     */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean = true): DataFrame = {
     // signatures via the relational path: explode shingles, sha256
     // each shingle ONCE as a codegen'd projected column, derive the 16
     // seeded values by integer mixing, min-aggregate per doc.
@@ -191,13 +192,13 @@ object Dedup {
           concat_ws(",", slice(col("sig"), b * lit(RowsPerBand) + 1,
             lit(RowsPerBand))).as("key")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .persist()
-    bands.count() // materialize once
+    if (materialize) { bands.persist(); bands.count() } // sketch built once
     val a = bands.select(col("id").as("a_id"), col("band"), col("key"))
     val b = bands.select(col("id").as("b_id"), col("band"), col("key"))
-    val pairs = a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+    val raw = a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .localCheckpoint() // materialize the (small) result …
+    if (!materialize) return raw // lazy plan, for shape audits
+    val pairs = raw.localCheckpoint() // materialize the (small) result …
     bands.unpersist() // … so the sketch cache can be released
     pairs
   }
@@ -234,7 +235,7 @@ object Dedup {
     * Exchange on a 15-bit key instead of an O(n²) cartesian.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, materialize: Boolean = true): DataFrame = {
     val nBlocks = maxHamming + 1
     require(SimBits % nBlocks == 0,
       s"SimBits=$SimBits must divide into ${nBlocks} equal pigeonhole blocks")
@@ -242,8 +243,7 @@ object Dedup {
     val blockMask = (1L << width) - 1
     val s = spread(docs)
       .select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
-      .persist()
-    s.count() // materialize the sketch once, not per join leg
+    if (materialize) { s.persist(); s.count() } // sketch once, not per leg
     val blocks = s.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map(b =>
         struct(lit(b).as("blk"),
@@ -259,9 +259,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
       .distinct() // a pair can agree on several blocks
-      .localCheckpoint()
+    if (!materialize) return pairs // lazy plan, for shape audits
+    val out = pairs.localCheckpoint()
     s.unpersist()
-    pairs
+    out
   }
 
   // ---- exact n-gram jaccard ----
@@ -279,7 +280,8 @@ object Dedup {
     * score, which is the standard trade (df-capped similarity join).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = 100): DataFrame = {
+      threshold: Double, maxDf: Int = 100,
+      materialize: Boolean = true): DataFrame = {
     val all = spread(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(shinglesCol(col(textCol)))).as("sh"))
@@ -289,8 +291,7 @@ object Dedup {
     val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     val sh = all.join(broadcast(hot), Seq("sh"), "left_anti")
-      .persist()
-    sh.count() // shared by sizes + both join legs
+    if (materialize) { sh.persist(); sh.count() } // shared by sizes + legs
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("a_id"), col("sh"))
     val b = sh.select(col("id").as("b_id"), col("sh"))
@@ -303,8 +304,9 @@ object Dedup {
         col("common") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
-      .localCheckpoint()
+    if (!materialize) return pairs // lazy plan, for shape audits
+    val out = pairs.localCheckpoint()
     sh.unpersist()
-    pairs
+    out
   }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.text.Dedup
+
+/** Scale-shape audits: the physical plans the 100 TB story depends on
+  * (broadcast dims, sort-merge facts, pushdown, NO cartesians in the
+  * pair-join dedup operators), plus the dedup building blocks that the
+  * DuckDB oracle can't unit-test in isolation.
+  */
+class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("tpch_region_stats: both dims join as BroadcastHashJoin") {
+    val p = plan(SparkEntry.queries("tpch_region_stats")(spark, sf))
+    // formatted explain lists each operator in the tree AND the detail
+    // section, so the two dim joins appear 4 times
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_top_orders: hinted dim broadcasts; fact join sort-merges when too big to broadcast") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(SparkEntry.queries("tpch_top_orders")(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p) // broadcast(customer) hint
+      assert(p.contains("SortMergeJoin"), p) // lineitem ⋈ orders
+      // top-10 must be a heap merge, not a global sort
+      assert(p.contains("TakeOrderedAndProject"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("search_topk_filtered: metadata filter reaches the parquet scan") {
+    val p = plan(SparkEntry.queries("search_topk_filtered")(spark, sf))
+    assert(p.contains("EqualTo(label,1)"), p) // PushedFilters
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pair-join dedup operators plan equi-joins, never cartesians") {
+    import spark.implicits._
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon doc$i tail"))
+      .toDF("doc_id", "text")
+    val plans = Seq(
+      "minhash" -> plan(Dedup.minhashPairs(docs, "doc_id", "text", materialize = false)),
+      "simhash" -> plan(Dedup.simhashPairs(docs, "doc_id", "text", 3, materialize = false)),
+      "jaccard" -> plan(Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, materialize = false)))
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("embed_neardup plans an equi-join on the LSH bucket, no cartesian") {
+    // same construction as Queries.embedNearDup, pre-checkpoint
+    import graft.rag.{AnnLsh, Similarity, VectorExprs}
+    import spark.implicits._
+    val emb = (0L until 50L)
+      .map(i => (i, graft.rag.HashEmbedder.embed(s"doc $i").map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val mask = (1 << Queries.NeardupPlanes) - 1
+    val base = emb.select(col("vec_id"),
+      VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as("v"),
+      AnnLsh.bucketCol(col("embedding").cast("array<double>"))
+        .bitwiseAND(lit(mask)).as("bucket"))
+    val probes = array((col("bucket") +: (0 until Queries.NeardupPlanes)
+      .map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val e = base.select(col("vec_id").as("a_id"), col("v").as("va"),
+      explode(probes).as("key"))
+    val f = base.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("bucket").as("key"))
+    val p = plan(e.join(f, Seq("key")).filter(col("a_id") < col("b_id"))
+      .filter(Similarity.dot(col("va"), col("vb")) >= 0.4)
+      .select("a_id", "b_id"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mix60 column matches the JVM splitmix-mod-2^60 reference") {
+    import spark.implicits._
+    def mixJvm(h: Long, seed: Long): Long = {
+      // wrapping multiply masked to 60 bits ≡ multiply mod 2^60
+      var z = h ^ seed
+      z = ((z ^ (z >>> 30)) * Dedup.MixC1) & Dedup.Mask60
+      z = ((z ^ (z >>> 27)) * Dedup.MixC2) & Dedup.Mask60
+      z ^ (z >>> 31)
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(50)(
+      (rnd.nextLong() & Dedup.Mask60, Dedup.Seeds(rnd.nextInt(Dedup.NumHashes))))
+    val got = cases.toDF("h", "seed")
+      .select(Dedup.seededHash(col("seed"), col("h"))).as[Long].collect()
+    cases.zip(got).foreach { case ((h, sd), g) =>
+      assert(g == mixJvm(h, sd), s"h=$h seed=$sd")
+    }
+  }
+
+  test("minhash signature is null below 3 words, populated at 3+") {
+    import spark.implicits._
+    val rows = Seq("one two", "", "one two three four")
+      .toDF("text")
+      .select(Dedup.signatureCol(col("text")).as("sig"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getSeq[Long](0).length == Dedup.NumHashes)
+  }
+
+  test("ngram df cap drops stop-shingle-only candidate pairs") {
+    import spark.implicits._
+    // every doc shares exactly the boilerplate shingle "aa bb cc"
+    val docs = (0 until 4)
+      .map(i => (i.toLong, s"aa bb cc x$i y$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text",
+      threshold = 0.1, maxDf = 1000)
+    assert(uncapped.count() == 6) // all pairs share the stop shingle
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text",
+      threshold = 0.1, maxDf = 3) // df("aa bb cc") = 4 > 3 → dropped
+    assert(capped.count() == 0)
+  }
+}

@@ -129,6 +129,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells.forall(c => c >= 0 && c < graft.rag.AnnIvf.NCells))
   }
 
+  test("ivf k-means: deterministic training, exact scores, recall beats first-N centroids") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, HashEmbedder.embed(s"doc $i content ${i % 7}").map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = HashEmbedder.embed("doc 3 content 3")
+    val bruteTop = TopK.search(vecs, q, 10).select("vec_id", "score")
+      .as[(Long, Double)].collect()
+    val bruteAll = TopK.search(vecs, q, 200).select("vec_id", "score")
+      .as[(Long, Double)].collect().toMap
+    def recall(hits: Array[(Long, Double)]): Double =
+      hits.map(_._1).toSet.intersect(bruteTop.map(_._1).toSet).size / 10.0
+    val km = graft.rag.AnnIvf.searchKmeans(vecs, q, 10)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    km.foreach { case (id, s) => assert(bruteAll(id) == s) } // exact within probe
+    val firstN = graft.rag.AnnIvf.search(vecs, q, 10)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    assert(recall(km) >= recall(firstN),
+      s"kmeans recall ${recall(km)} < first-N recall ${recall(firstN)}")
+    assert(recall(km) >= 0.5, s"kmeans recall ${recall(km)}")
+    // training is deterministic: same corpus → identical centroids
+    val c1 = graft.rag.AnnIvf.kmeansCentroids(vecs)
+    val c2 = graft.rag.AnnIvf.kmeansCentroids(vecs)
+    assert(c1.map(_.toVector) == c2.map(_.toVector))
+  }
+
   test("store: appendDedup keeps newest row per chunk_id") {
     import spark.implicits._
     val existing = Seq(("c1", "old"), ("c2", "old")).toDF("chunk_id", "v")
