@@ -494,7 +494,7 @@ object OracleSql {
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
     "ngram_jaccard" ->
       (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s FROM w WHERE len(ws) >= 3),
+         |sh0 AS (SELECT doc_id, ${sqlHash("unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])))")} AS s FROM w WHERE len(ws) >= 3),
          |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
          |sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -35,13 +35,13 @@ object AnnIvf {
   }
 
   /** cell = index of the max-cosine centroid; first max wins ties
-    * (same rule as the oracle's ORDER BY s DESC, cid).
+    * (same rule as the oracle's ORDER BY s DESC, cid). Native one-pass
+    * expression — the composed `array_position(array(cosine×k), ...)`
+    * form re-evaluates the vector per centroid inside FilterExec (no
+    * subexpression elimination there), measured 10× slower.
     */
-  def cellCol(e: Column, cents: Seq[Array[Double]]): Column = {
-    val scores = array(cents.map(c =>
-      Similarity.cosine(e, typedLit(c.toSeq))): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+  def cellCol(e: Column, cents: Seq[Array[Double]]): Column =
+    VectorExprs.nearestCentroid(e, cents)
 
   /** strict left-fold cosine on the driver — same IEEE op order as the
     * Column/oracle forms, for the query-side cell ranking.

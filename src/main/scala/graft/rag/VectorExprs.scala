@@ -102,6 +102,86 @@ object L2Normalize {
   }
 }
 
+/** Index of the max-cosine centroid for a vector column — the IVF cell
+  * assignment kernel. One native pass: the row vector is read ONCE
+  * (norm, then k dots), vs the composed Column form
+  * `array_position(array(cosine×k), array_max(...))` which — inside a
+  * FilterExec, where Spark does no subexpression elimination — re-casts
+  * and re-scans the array ~4k times per row (measured 10× slower).
+  *
+  * Scoring is bit-identical to the composed form and the DuckDB
+  * oracle: score_i = (na==0 || nc_i==0) ? 0 : dot/(na*nc_i), strict
+  * left-to-right folds, first max wins ties.
+  */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val centNorms: Array[Double] =
+    centArr.map(c => math.sqrt(NearestCentroid.selfDot(c)))
+  @transient private lazy val isFloat =
+    child.dataType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, false) ||
+      child.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true)
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.assign(v.asInstanceOf[ArrayData], isFloat, centArr, centNorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.rag.NearestCentroid$$.MODULE$$.assign($a, $isFloat, $centsRef, $normsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NearestCentroid {
+
+  private[rag] def selfDot(c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** static entry for generated code */
+  def assign(arr: ArrayData, isFloat: Boolean, cents: Array[Array[Double]],
+      centNorms: Array[Double]): Int = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val na = math.sqrt(selfDot(v))
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += v(i) * cv(i); i += 1 }
+      val score =
+        if (na == 0.0 || centNorms(c) == 0.0) 0.0
+        else dot / (na * centNorms(c))
+      if (score > bestScore) { best = c; bestScore = score }
+      c += 1
+    }
+    best
+  }
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftExprBridge._
 
@@ -112,4 +192,10 @@ object VectorExprs {
   /** one-pass L2 normalization of an array<double> column. */
   def l2Normalize(a: Column): Column =
     toColumn(L2Normalize(toExpression(a)))
+
+  /** IVF cell id: index of the max-cosine centroid (float or double
+    * array column).
+    */
+  def nearestCentroid(v: Column, cents: Seq[Array[Double]]): Column =
+    toColumn(NearestCentroid(toExpression(v), cents.map(_.toSeq)))
 }

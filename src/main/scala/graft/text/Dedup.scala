@@ -282,9 +282,15 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = 100,
       materialize: Boolean = true): DataFrame = {
+    // the index key is the 60-bit shingle HASH, not the string: every
+    // downstream shuffle (df count, inverted-index self-join, pair agg)
+    // moves 8-byte longs instead of ~25-byte strings, and join equality
+    // is integer comparison. A 2^-60 collision merges two shingles —
+    // negligible, and mirrored exactly by the oracle's identical hash.
     val all = spread(docs)
       .select(col(idCol).as("id"),
-        explode(array_distinct(shinglesCol(col(textCol)))).as("sh"))
+        explode(array_distinct(shinglesCol(col(textCol)))).as("s"))
+      .select(col("id"), shingleHash(col("s")).as("sh"))
     // df-cap via a broadcast-able hot list: hot shingles are by
     // definition few (≤ corpus/maxDf distinct values), so the
     // anti-join is a broadcast, not a shuffle of the index
