@@ -15,6 +15,22 @@ package graft.extract
   *
   * Fenced code blocks are EXEMPT from MD012/MD009 (matching
   * markdownlint: fence interiors pass through verbatim).
+  *
+  * Per-rule account of the remaining default `--fix`able rules (the
+  * reference runs markdownlint-cli with NO config, converter.py:171):
+  * they cannot fire on this engine's output because the markdown is
+  * machine-emitted already normalized, not hand-written —
+  * MD010 hard tabs, MD011 reversed links, MD018–MD023 heading
+  * spacing/position, MD026 heading punctuation, MD027 blockquote
+  * spaces, MD030 list-marker spacing, MD032 blanks around lists and
+  * MD004/MD005/MD007 list style/indent are all properties the emitter
+  * (MarkdownEmitter) controls at generation time: headings are emitted
+  * as `#… text`, lists as `- item`, fences on their own lines, blank
+  * lines inserted between blocks by the join. MD034 bare URLs and
+  * MD037–MD039 emphasis/link spacing depend on source text the
+  * reference also passes through unchanged (it would "fix" them only
+  * if the PDF text itself contained them — behavior our golden
+  * fixtures pin on the `--no-lint` path either way).
   */
 object LintNormalize {
 

@@ -20,6 +20,37 @@ import graft.chunk.Tokenizer
   * -1 : +1. Integer accumulation is exact, so the result is
   * bit-reproducible across Spark and the DuckDB oracle.
   */
+/** native one-pass feature-hashing embedding of a string column (the
+  * JVM twin `HashEmbedder.embed` inside whole-stage codegen — same
+  * sha256-derived hashes, bucket/sign rule and normalization fold, so
+  * values stay bit-identical to the HOF form and the DuckDB oracle).
+  */
+case class HashEmbed(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    HashEmbedder.embedData(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.rag.HashEmbedder$$.MODULE$$.embedData($a, $dim)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c)
+}
+
 object HashEmbedder {
 
   val Dim = 64
@@ -48,16 +79,31 @@ object HashEmbedder {
           .otherwise(0L)))
   }
 
-  /** L2-normalized double vector; zero-norm stays all-zero.
-    * One-pass native normalization — the composed form
-    * `transform(raw, x => x / norm(raw))` would inline the whole
-    * rawEmbedding subtree into the per-element lambda (~2×dim
-    * re-evaluations of the token-hash fold per row).
+  /** L2-normalized double vector; zero-norm stays all-zero. Native
+    * one-pass expression (tokenize → hash → accumulate → normalize in
+    * one JVM kernel, inside whole-stage codegen). The HOF composition
+    * below computes the identical values — SparkOpsSpec asserts
+    * native == HOF == JVM twin — but `aggregate`/`zip_with` lambdas
+    * are interpreted (CodegenFallback), ~4× slower on the V1 carrier.
     */
-  def embedding(text: Column, dim: Int = Dim): Column =
+  def embedding(text: Column, dim: Int = Dim): Column = {
+    import org.apache.spark.sql.GraftExprBridge._
+    toColumn(HashEmbed(toExpression(text), dim))
+  }
+
+  /** the same embedding as composed Column HOFs (kept as the
+    * readable specification + cross-check of the native kernel)
+    */
+  def embeddingHof(text: Column, dim: Int = Dim): Column =
     VectorExprs.l2Normalize(rawEmbedding(text, dim).cast("array<double>"))
 
   // ---- pure JVM twin (kernel/tests, and query-vector embedding) ----
+
+  /** static entry for HashEmbed's generated code */
+  def embedData(text: org.apache.spark.unsafe.types.UTF8String,
+      dim: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      embed(text.toString, dim))
 
   def embed(text: String, dim: Int = Dim): Array[Double] = {
     val raw = new Array[Long](dim)

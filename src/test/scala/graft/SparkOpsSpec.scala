@@ -72,15 +72,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == count1)
   }
 
-  test("hash embedder: Column expression equals pure-JVM twin") {
+  test("hash embedder: native expression == HOF composition == pure-JVM twin") {
     import spark.implicits._
     val texts = Seq("spark merge join table scan", "AT+CFUN=1 set mode.",
       "", "the the the", "one")
-    val fromCol = texts.toDF("text")
-      .select(HashEmbedder.embedding(col("text")).as("e"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    texts.zip(fromCol).foreach { case (t, got) =>
-      assert(got.toVector == HashEmbedder.embed(t).toVector, s"text: '$t'")
+    val rows = texts.toDF("text")
+      .select(HashEmbedder.embedding(col("text")).as("native"),
+        HashEmbedder.embeddingHof(col("text")).as("hof"))
+      .collect()
+    texts.zip(rows).foreach { case (t, r) =>
+      val native = r.getSeq[Double](0).toVector
+      val hof = r.getSeq[Double](1).toVector
+      assert(native == hof, s"native != hof for '$t'")
+      assert(native == HashEmbedder.embed(t).toVector, s"native != twin for '$t'")
     }
   }
 

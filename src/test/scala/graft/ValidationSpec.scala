@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.api.Validation
+import graft.api.{SystemInfo, Validation}
 import graft.api.Validation._
 
 class ValidationSpec extends AnyFunSuite {
@@ -32,6 +32,27 @@ class ValidationSpec extends AnyFunSuite {
     assert(!validateFileSize(50L * 1024 * 1024 + 1).isValid)
     assert(validateBatchSize(100).isValid)
     assert(!validateBatchSize(101).isValid)
+  }
+
+  test("sandbox: a symlink escaping the allowed root is rejected") {
+    val root = java.nio.file.Files.createTempDirectory("sbx").toString
+    val outside = java.nio.file.Files.createTempDirectory("out")
+    val link = java.nio.file.Paths.get(root, "escape")
+    java.nio.file.Files.createSymbolicLink(link, outside)
+    assert(!Validation.validateSandboxed(s"$root/escape/x.pdf", Seq(root)).isValid)
+    assert(Validation.validateSandboxed(s"$root/ok/x.pdf", Seq(root)).isValid)
+  }
+
+  test("system info + component self-test mirror the reference introspection") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val chunks = Seq(("c1", "x"), ("c2", "y")).toDF("chunk_id", "content")
+    val info = SystemInfo.systemInfo(chunks, "knowledge_base", "/tmp/store")
+    assert(info.vector_store.document_count == 2)
+    assert(info.embedding_dim == graft.rag.HashEmbedder.Dim)
+    val tests = SystemInfo.testComponents(chunks)
+    assert(tests.embedding_model && tests.llm && tests.vector_store)
   }
 
   test("sandbox: resolved path must be under an allowed root") {
