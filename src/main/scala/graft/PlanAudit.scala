@@ -19,7 +19,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("extract_markdown", "search_topk", "rag_query",
       "resume_pending", "dedup_minhash", "list_documents", "chunk_sections",
-      "embed_neardup", "delete_document")
+      "embed_neardup", "delete_document", "search_topk_filtered",
+      "tpch_pricing", "tpch_top_orders", "tpch_region_stats", "ivf_assign",
+      "ngram_jaccard", "simhash_pairs")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
