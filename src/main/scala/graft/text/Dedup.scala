@@ -152,7 +152,7 @@ object Dedup {
   def signatureCol(text: Column): Column = {
     val maxSig = typedLit(Seq.fill(NumHashes)(Long.MaxValue))
     val seeds = typedLit(Seeds)
-    val hashed = transform(shinglesCol(text), s => shingleHash(s))
+    val hashed = TextExprs.shingleHashes(text, distinct = false)
     val sig = aggregate(hashed, maxSig, (acc, h) =>
       zip_with(acc, seeds, (a, sd) => least(a, seededHash(sd, h))))
     when(size(wordsCol(text)) >= 3, sig)
@@ -168,24 +168,21 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       materialize: Boolean = true): DataFrame = {
-    // signatures via the relational path: explode shingles, sha256
-    // each shingle ONCE as a codegen'd projected column, derive the 16
-    // seeded values by integer mixing, min-aggregate per doc.
-    // Identical values to signatureCol (both paths skip <3-word docs —
-    // signatureCol nulls them), but runs in whole-stage codegen instead
-    // of interpreted HOF lambdas, at the cost of one (id)-keyed shuffle
-    // of longs. repartition first: the corpus may arrive as one file →
-    // one scan task, and the sha256 projection must run at full
+    // signatures via the native per-document kernel (TextKernels
+    // .minhashSig): one pass over the text — tokenize, sha256 each
+    // shingle once, fold the 16 mixed minima — entirely map-side. The
+    // earlier explode → groupBy(id) min-agg shape shuffled
+    // 16×|shingles| longs per document; the per-doc kernel shuffles
+    // NOTHING before banding (the band table is 4 rows per doc).
+    // Values are identical to signatureCol (spec-asserted); <3-word
+    // docs yield an empty signature and are dropped, matching
+    // signatureCol's null. repartition first: the corpus may arrive as
+    // one file → one scan task, and the sha256 kernel must run at full
     // parallelism, not scan parallelism
-    val sh = spread(docs)
-      .filter(size(wordsCol(col(textCol))) >= 3)
-      .select(col(idCol).as("id"), explode(shinglesCol(col(textCol))).as("sh"))
-      .select(col("id"), shingleHash(col("sh")).as("h"))
-    val minCols = (0 until NumHashes).map(i =>
-      min(seededHash(lit(Seeds(i)), col("h"))).as(s"s_$i"))
-    val sigs = sh.groupBy("id").agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array((0 until NumHashes).map(i => col(s"s_$i")): _*).as("sig"))
+    val sigs = spread(docs)
+      .select(col(idCol).as("id"),
+        TextExprs.minhashSig(col(textCol)).as("sig"))
+      .filter(size(col("sig")) > 0)
     val bands = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"),
@@ -214,7 +211,12 @@ object Dedup {
     * 60 bit votes), then one fold of the vote vector into the hash —
     * never re-evaluates the token array per bit.
     */
-  def simhashCol(text: Column): Column = {
+  def simhashCol(text: Column): Column = TextExprs.simhash(text)
+
+  /** the same SimHash as composed Column HOFs (readable spec +
+    * cross-check of the native kernel; spec-asserted equal)
+    */
+  def simhashColHof(text: Column): Column = {
     val masks = typedLit((0 until SimBits).map(b => 1L << b))
     val zeros = typedLit(Seq.fill(SimBits)(0L))
     val hashed = transform(wordsCol(text), w => HashEmbedder.tokenHash(w))
@@ -289,8 +291,7 @@ object Dedup {
     // negligible, and mirrored exactly by the oracle's identical hash.
     val all = spread(docs)
       .select(col(idCol).as("id"),
-        explode(array_distinct(shinglesCol(col(textCol)))).as("s"))
-      .select(col("id"), shingleHash(col("s")).as("sh"))
+        explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
     // df-cap via a broadcast-able hot list: hot shingles are by
     // definition few (≤ corpus/maxDf distinct values), so the
     // anti-join is a broadcast, not a shuffle of the index

@@ -1,0 +1,204 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the text-sketch hot paths. The composed Column
+  * forms (regexp_extract_all → `transform` shingle building →
+  * per-element hashing) are HOFs — CodegenFallback, interpreted per
+  * lambda step, and the dominant cost of the dedup suite at sf0.1.
+  * These expressions compute the identical values in one JVM pass and
+  * stay inside whole-stage codegen (same pattern as rag.L2Normalize /
+  * rag.HashEmbed; equality with the HOF forms is spec-asserted).
+  *
+  * Hash basis shared with the DuckDB oracle: word regex
+  * `[A-Za-z0-9]+`, shingle = 3 words joined by one space, 60-bit hash
+  * = first 15 hex digits of sha256 (Dedup.shingleHash /
+  * HashEmbedder.tokenHash compute the same).
+  */
+object TextKernels {
+
+  private val WordPattern = java.util.regex.Pattern.compile(Dedup.WordRegex)
+
+  private[text] def words(text: String): Array[String] = {
+    val m = WordPattern.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result().toArray
+  }
+
+  /** first 60 bits of sha256(s), as in `substr(sha256(s),1,15)::BIGINT` */
+  private[text] def hash60(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** 60-bit hashes of the word 3-shingles (optionally of the distinct
+    * shingle STRINGS — distinct is taken before hashing, mirroring the
+    * oracle's `list_distinct` on strings). Empty below 3 words.
+    */
+  def shingleHashes(text: UTF8String, distinct: Boolean): ArrayData = {
+    val w = words(if (text == null) "" else text.toString)
+    if (w.length < 3) return ArrayData.toArrayData(Array.emptyLongArray)
+    val n = w.length - 2
+    val sb = new java.lang.StringBuilder(64)
+    val seen = if (distinct) new java.util.LinkedHashSet[String]() else null
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(w(i)).append(' ').append(w(i + 1)).append(' ').append(w(i + 2))
+      val s = sb.toString
+      if (seen == null) out += hash60(s)
+      else if (seen.add(s)) out += hash60(s)
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  /** full MinHash signature in one pass: sig[i] = min over shingles of
+    * mix60(hash60(s) ⊕ seed_i) — identical values to
+    * Dedup.signatureCol / the relational explode+min-agg path (the
+    * JVM mix here is the wrapping-multiply twin of Dedup.mix60,
+    * spec-asserted equal). Empty array below 3 words (no shingles).
+    */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val w = words(if (text == null) "" else text.toString)
+    if (w.length < 3) return ArrayData.toArrayData(Array.emptyLongArray)
+    val k = Dedup.NumHashes
+    val seeds = Dedup.Seeds.toArray
+    val sig = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < w.length - 2) {
+      sb.setLength(0)
+      sb.append(w(i)).append(' ').append(w(i + 1)).append(' ').append(w(i + 2))
+      val h = hash60(sb.toString)
+      var j = 0
+      while (j < k) {
+        val v = mix60Jvm(h ^ seeds(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** JVM twin of Dedup.mix60: wrapping multiply masked to 60 bits ≡
+    * multiply mod 2^60 (2^60 | 2^64)
+    */
+  private[text] def mix60Jvm(z0: Long): Long = {
+    var z = z0
+    z = ((z ^ (z >>> 30)) * Dedup.MixC1) & Dedup.Mask60
+    z = ((z ^ (z >>> 27)) * Dedup.MixC2) & Dedup.Mask60
+    z ^ (z >>> 31)
+  }
+
+  /** 60-bit SimHash over word tokens — identical votes/threshold rule
+    * as Dedup.simhashCol: bit b set iff Σ over word hashes of
+    * ((h>>b)&1 ? +1 : −1) is positive.
+    */
+  def simhash(text: UTF8String): Long = {
+    val w = words(if (text == null) "" else text.toString)
+    val votes = new Array[Int](Dedup.SimBits)
+    var i = 0
+    while (i < w.length) {
+      val h = hash60(w(i))
+      var b = 0
+      while (b < Dedup.SimBits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Dedup.SimBits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** text → array<long> of 60-bit shingle hashes (native one-pass). */
+case class ShingleHashes(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    distinct: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.shingleHashes(s.asInstanceOf[UTF8String], distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.text.TextKernels$$.MODULE$$.shingleHashes($a, $distinct)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
+/** text → array<long> MinHash signature (native one-pass; empty below
+  * 3 words).
+  */
+case class MinHashSig(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.minhashSig(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.text.TextKernels$$.MODULE$$.minhashSig($a)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
+/** text → 60-bit SimHash (native one-pass). */
+case class SimHash60(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.simhash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.text.TextKernels$$.MODULE$$.simhash($a)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
+object TextExprs {
+  import org.apache.spark.sql.GraftExprBridge._
+
+  def shingleHashes(text: Column, distinct: Boolean): Column =
+    toColumn(ShingleHashes(toExpression(text), distinct))
+
+  def minhashSig(text: Column): Column =
+    toColumn(MinHashSig(toExpression(text)))
+
+  def simhash(text: Column): Column =
+    toColumn(SimHash60(toExpression(text)))
+}
