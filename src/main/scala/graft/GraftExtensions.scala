@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.rag.DotProduct
+import graft.rag.{DotProduct, HashEmbed, HashEmbedder, L2Normalize}
+import graft.text.{MinHashSig, ShingleHashes, SimHash60}
 
 /** SparkSessionExtensions hook: exposes the engine's custom Catalyst
   * expression in SQL, so the library's operators compose with plain
@@ -18,12 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      GraftExtensions.dotProductBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
@@ -31,21 +33,43 @@ object GraftExtensions {
   /** arity-checked builder: a wrong-arity SQL call gets an analysis
     * error naming the function, not an IndexOutOfBoundsException.
     */
-  private[graft] val dotProductBuilder: Seq[Expression] => Expression =
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     children => {
-      if (children.length != 2)
+      if (children.length != arity)
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> "dot_product",
-            "expectedNum" -> "2",
+            "functionName" -> name,
+            "expectedNum" -> arity.toString,
             "actualNum" -> children.length.toString,
             "docroot" -> ""))
-      DotProduct(children(0), children(1))
+      build(children)
     }
+
+  private[graft] val dotProductBuilder: Seq[Expression] => Expression =
+    checked("dot_product", 2)(c => DotProduct(c(0), c(1)))
+
+  /** every native kernel of the engine, callable from plain SQL */
+  private[graft] val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct], dotProductBuilder),
+    ("l2_normalize", classOf[L2Normalize],
+      checked("l2_normalize", 1)(c => L2Normalize(c(0)))),
+    ("hash_embed", classOf[HashEmbed],
+      checked("hash_embed", 1)(c => HashEmbed(c(0), HashEmbedder.Dim))),
+    ("simhash60", classOf[SimHash60],
+      checked("simhash60", 1)(c => SimHash60(c(0)))),
+    ("minhash_sig", classOf[MinHashSig],
+      checked("minhash_sig", 1)(c => MinHashSig(c(0)))),
+    ("shingle_hashes", classOf[ShingleHashes],
+      checked("shingle_hashes", 1)(c => ShingleHashes(c(0), distinct = false))),
+    ("shingle_hashes_distinct", classOf[ShingleHashes],
+      checked("shingle_hashes_distinct", 1)(c => ShingleHashes(c(0), distinct = true))))
 
   /** register on an already-built session */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", dotProductBuilder, "scala_udf")
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

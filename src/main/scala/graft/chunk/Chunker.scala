@@ -34,11 +34,22 @@ class Chunker(maxTokens: Int = 512, overlapTokens: Int = 50) {
   private val AtCommand = Pattern.compile("AT\\+[A-Z0-9]+")
   private val SectionLine = Pattern.compile("^#{1,6}\\s+(.+)$")
 
-  /** K1 — `chunk_by_sections` (chunking.py:44-114). */
+  /** K1 — `chunk_by_sections` (chunking.py:44-114).
+    *
+    * The over-budget check keeps a RUNNING token total instead of
+    * re-tokenizing the accumulated chunk on every appended line (the
+    * reference's O(lines²·chars) shape, chunking.py:85): no token of
+    * `Tokenizer.TokenRegex` can span the '\n' join (alnum runs stop at
+    * it, the single-char class excludes whitespace), so
+    * count(join(lines)) = Σ count(line) exactly — property-tested in
+    * ChunkerPropertySpec.
+    */
   def chunkBySections(markdown: String, document: String): Vector[Chunk] = {
     val lines = split(markdown)
     val chunks = Vector.newBuilder[Chunk]
     var current = Vector.empty[String]
+    var counts = Vector.empty[Int]
+    var total = 0
     var section: String = null
     var chunkId = 0
     var i = 0
@@ -53,15 +64,22 @@ class Chunker(maxTokens: Int = 512, overlapTokens: Int = 50) {
           chunkId += 1
         }
         current = Vector(line)
+        counts = Vector(Tokenizer.count(line))
+        total = counts.head
         section = m.group(1)
       } else {
         current = current :+ line
-        if (Tokenizer.count(current.mkString("\n")) > maxTokens) {
+        val c = Tokenizer.count(line)
+        counts = counts :+ c
+        total += c
+        if (total > maxTokens) {
           Chunker.splitAtBoundary(current).foreach { splitPart =>
             chunks += create(splitPart.mkString("\n"), document, section,
               chunkId, i - splitPart.length, i)
             chunkId += 1
             current = current.drop(splitPart.length)
+            total -= counts.take(splitPart.length).sum
+            counts = counts.drop(splitPart.length)
           }
         }
       }
@@ -99,11 +117,15 @@ class Chunker(maxTokens: Int = 512, overlapTokens: Int = 50) {
     chunks.result()
   }
 
-  /** K3 — `chunk_by_at_commands` (chunking.py:146-215). */
+  /** K3 — `chunk_by_at_commands` (chunking.py:146-215). Same running
+    * token total as chunkBySections.
+    */
   def chunkByAtCommands(markdown: String, document: String): Vector[Chunk] = {
     val lines = split(markdown)
     val chunks = Vector.newBuilder[Chunk]
     var current = Vector.empty[String]
+    var counts = Vector.empty[Int]
+    var total = 0
     var chunkId = 0
     var i = 0
     while (i < lines.length) {
@@ -117,14 +139,21 @@ class Chunker(maxTokens: Int = 512, overlapTokens: Int = 50) {
           chunkId += 1
         }
         current = Vector(line)
+        counts = Vector(Tokenizer.count(line))
+        total = counts.head
       } else {
         current = current :+ line
-        if (Tokenizer.count(current.mkString("\n")) > maxTokens) {
+        val c = Tokenizer.count(line)
+        counts = counts :+ c
+        total += c
+        if (total > maxTokens) {
           Chunker.splitAtBoundary(current).foreach { splitPart =>
             chunks += create(splitPart.mkString("\n"), document, null,
               chunkId, i - splitPart.length, i)
             chunkId += 1
             current = current.drop(splitPart.length)
+            total -= counts.take(splitPart.length).sum
+            counts = counts.drop(splitPart.length)
           }
         }
       }

@@ -107,11 +107,16 @@ object HashEmbedder {
 
   def embed(text: String, dim: Int = Dim): Array[Double] = {
     val raw = new Array[Long](dim)
+    // memoize the sha256 per distinct token within the row — natural
+    // text repeats tokens heavily; same values, fewer digests
+    val memo = new java.util.HashMap[String, java.lang.Long]()
     Tokenizer.tokenize(text).foreach { t =>
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(t.text.getBytes("UTF-8"))
-      val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      val h = memo.computeIfAbsent(t.text, s => {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes("UTF-8"))
+        val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }).longValue()
       val b = (h % dim).toInt
       raw(b) += (if (((h >> 6) % 2) == 0) 1L else -1L)
     }

@@ -32,10 +32,16 @@ object Dedup {
 
   /** rebalance to full parallelism before a compute-heavy projection —
     * a small corpus arriving as one file would otherwise pin the whole
-    * sketch computation to its scan task
+    * sketch computation to its scan task. CONDITIONAL: when the scan
+    * already has at least as many splits as cores (every real cluster
+    * read at 100 TB), this is the identity — repartitioning would
+    * shuffle the full document text for nothing.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** word 3-shingles, as strings (empty array below 3 words —
     * `sequence` would DESCEND on a negative span, so guard explicitly)

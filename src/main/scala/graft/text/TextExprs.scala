@@ -108,9 +108,12 @@ object TextKernels {
   def simhash(text: UTF8String): Long = {
     val w = words(if (text == null) "" else text.toString)
     val votes = new Array[Int](Dedup.SimBits)
+    // natural text repeats words heavily — memoize the sha256 per
+    // distinct word within the row (same value, fewer digests)
+    val memo = new java.util.HashMap[String, java.lang.Long]()
     var i = 0
     while (i < w.length) {
-      val h = hash60(w(i))
+      val h = memo.computeIfAbsent(w(i), s => hash60(s)).longValue()
       var b = 0
       while (b < Dedup.SimBits) {
         votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)

@@ -31,6 +31,18 @@ class ChunkerPropertySpec extends AnyFunSuite {
 
   private val chunker = new Chunker(maxTokens = 30, overlapTokens = 5)
 
+  test("token count is additive over the newline join (running-total invariant)") {
+    // the chunkers' incremental over-budget check relies on
+    // count(join(lines, "\n")) == sum(count(line)): no TokenRegex token
+    // can span the newline
+    val anyLine: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.oneOf(' ', '.', ',', '+', '#', '|', '\t'),
+      1 -> Gen.oneOf('é', '§', '→'))).map(_.mkString)
+    check(Prop.forAll(Gen.listOf(anyLine)) { lines =>
+      Tokenizer.count(lines.mkString("\n")) == lines.map(Tokenizer.count).sum
+    })
+  }
+
   test("sections: every non-blank input line appears, in order") {
     check(Prop.forAll(doc) { md =>
       val cs = chunker.chunkBySections(md, "d")

@@ -33,6 +33,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 0.0)
   }
 
+  test("all native kernels callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT size(hash_embed('spark join')) AS d,
+        |  simhash60('alpha beta gamma') AS sh,
+        |  size(minhash_sig('a b c d e')) AS mh,
+        |  size(shingle_hashes('a b c d')) AS all_sh,
+        |  size(shingle_hashes_distinct('a b c a b c a b')) AS dst_sh,
+        |  l2_normalize(array(3.0D, 4.0D)) AS n""".stripMargin).head()
+    assert(r.getInt(0) == graft.rag.HashEmbedder.Dim)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == graft.text.Dedup.NumHashes)
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 3) // "a b c","b c a","c a b" distinct of 6
+    assert(r.getSeq[Double](5) == Seq(0.6, 0.8))
+  }
+
   test("store trait: parquet realization round-trips + partition overwrite") {
     import spark.implicits._
     import graft.store.ParquetStore
