@@ -124,6 +124,12 @@ object Bench {
     val tpsLow = turnsLow / secsLow
     val tpsHigh = turnsHigh / secsHigh
     val eff = (tpsHigh / tpsLow) / (highCpus.toDouble / lowCpus)
+    // same-window pure-CPU control: on this shared VM, 4x threads do
+    // NOT deliver 4x arithmetic throughput; the ceiling makes the
+    // pipeline's thread-scaling readable relative to the hardware's
+    val spinLow = bench.MultiProcBench.spinThroughput(1, lowCpus)
+    val spinHigh = bench.MultiProcBench.spinThroughput(1, highCpus)
+    val ceiling = (spinHigh / spinLow) / (highCpus.toDouble / lowCpus)
 
     // 3. the executor-model scaling evidence: N vs 4N worker JVMs over
     //    the same corpus, plus the host's own pure-CPU scaling ceiling
@@ -142,6 +148,6 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def f(d: Double) = f"$d%.3f"
     println(
-      s"""{"metric":"turns/sec extraction throughput (local[$highCpus]; see multiproc for the executor-model numbers)","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"warmup_sec":${f(warm)}},"multiproc":$multiproc}""")
+      s"""{"metric":"turns/sec extraction throughput (local[$highCpus]; see multiproc for the executor-model numbers)","value":${f(tpsHigh)},"unit":"turns/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","total_query_sec":${f(total)},"extract":{"turns":$turnsLow,"cores_low":$lowCpus,"cores_high":$highCpus,"sec_low":${f(secsLow)},"sec_high":${f(secsHigh)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"host_cpu_ceiling_efficiency":${f(ceiling)},"hardware_relative_efficiency":${f(eff / ceiling)},"warmup_sec":${f(warm)}},"multiproc":$multiproc}""")
   }
 }

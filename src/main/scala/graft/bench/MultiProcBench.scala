@@ -162,6 +162,12 @@ object MultiProcBench {
     Console.out.flush()
   }
 
+  /** thread-level ceiling for graft.Bench's local[N] vs local[4N]
+    * extract comparison: same spin control, one process, N threads.
+    */
+  def spinThroughput(workers: Int, threadsPer: Int): Double =
+    runSpin(workers, threadsPer)
+
   private def runSpin(workers: Int, threadsPer: Int): Double = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
