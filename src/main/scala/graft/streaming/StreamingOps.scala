@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface. The reference is batch-only and the
   * north rule is batch spark-submit (SURVEY.md §2.6), so nothing in
@@ -35,5 +36,39 @@ object StreamingOps {
     val schema = spark.read.parquet(transcriptsDir).schema
     graft.extract.ExtractPipeline.overTranscripts(
       spark.readStream.schema(schema).parquet(transcriptsDir))
+  }
+
+  /** streaming exact dedup — first-seen row per content digest wins,
+    * later duplicates are dropped across micro-batches. Custom keyed
+    * state via `flatMapGroupsWithState` (the state store holds ONE
+    * boolean per digest — not the row — so state size is O(distinct
+    * digests), the same footprint the batch `dedup_exact` aggregate
+    * shuffles). At 100 TB the state store backs onto RocksDB and the
+    * digest key partitions the stream exactly like the batch groupBy.
+    *
+    * Batch-equality contract (StreamingSpec): the set of emitted
+    * (digest, id) equals batch `Dedup.exact`'s keep rows when ids
+    * arrive in id order (first-seen = min id per digest there).
+    */
+  def dedupStream(spark: SparkSession, docsDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[(String, Long)] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .select(sha2(col(textCol), 256).as("digest"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (digest: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // digest already emitted
+          else {
+            state.update(true)
+            // first row of the first micro-batch that carries this
+            // digest; within a batch, keep the smallest id so the
+            // result is deterministic under any task interleaving
+            Iterator.single((digest, rows.map(_._2).min))
+          }
+      }
   }
 }

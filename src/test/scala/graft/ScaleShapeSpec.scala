@@ -94,6 +94,41 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // 1 hot key carrying 50k wide rows vs 50 cold keys with 10 each
+      val left = spark.range(0, 50000).select(lit(0L).as("k"),
+          concat(lit("x"), col("id"), lit("y" * 64)).as("payload"))
+        .union(spark.range(0, 500).select((col("id") % 50 + 1).as("k"),
+          concat(lit("c"), col("id")).as("payload")))
+      val right = spark.range(0, 51).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS frame (count() would plan a separate query and
+      // leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 50500)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("mix60 column matches the JVM splitmix-mod-2^60 reference") {
     import spark.implicits._
     def mixJvm(h: Long, seed: Long): Long = {

@@ -62,6 +62,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stateful streaming dedup: first-seen per digest, matches batch exact dedup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup_in").toString
+    // duplicate-heavy corpus: 40 docs over 7 distinct texts
+    (0L until 40L).map(i => (i, s"document body ${i % 7}")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ck").toString
+    val q = StreamingOps.dedupStream(spark, dir).toDF("digest", "id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("deduped").start()
+    q.processAllAvailable()
+    // a second micro-batch of pure duplicates must emit NOTHING new
+    (100L until 110L).map(i => (i, s"document body ${i % 7}")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT digest, id FROM deduped")
+      .as[(String, Long)].collect().toSet
+    val batch = graft.text.Dedup.exact(spark.read.parquet(dir), "doc_id", "text")
+      .filter(col("keep_id") < 100) // originals arrived first
+      .select(col("content_hash"), col("keep_id"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 7)
+  }
+
   test("salted aggregation equals direct groupBy") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/events.parquet")
