@@ -121,6 +121,7 @@ object SparkEntry {
         Confidence.perRow(col("text"), Queries.RagQuery).as("confidence"))),
     "rag_query" -> ((s, dir) => Queries.ragQuery(s, dir)),
     "embed_neardup" -> ((s, dir) => Queries.embedNearDup(s, dir, 0.4)),
+    "embed_neardup_exact" -> ((s, dir) => Queries.embedNearDupExact(s, dir, 0.4)),
     // V4's metadata-filter path (vector_store.py:137-139 `where`):
     // the conjunctive equality filter lands BELOW the score projection,
     // reaching the scan as a pushed predicate — only matching rows are
@@ -398,7 +399,7 @@ object OracleSql {
     "ivf_assign" -> {
       def cos(a: String, b: String) =
         s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
-      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < ${graft.rag.AnnIvf.NCells}),
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT ${graft.rag.AnnIvf.NCells})),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sc AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c)
          |SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
@@ -415,7 +416,7 @@ object OracleSql {
     "ann_ivf" -> {
       def cos(a: String, b: String) =
         s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
-      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < ${graft.rag.AnnIvf.NCells}),
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT ${graft.rag.AnnIvf.NCells})),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
          |sc AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c),
@@ -445,6 +446,14 @@ object OracleSql {
          |     least(CAST(1.0 AS DOUBLE), sum($relevantCase) / CAST(count(*) AS DOUBLE)))
          |    / CAST(3.0 AS DOUBLE))) AS confidence
          |FROM top5 JOIN documents ON top5.vec_id = documents.doc_id""".stripMargin),
+    "embed_neardup_exact" ->
+      (s"""WITH e AS (SELECT vec_id,
+         |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x/n) END AS v
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, ${nrm("embedding::DOUBLE[]")} AS n
+         |        FROM embeddings))
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dot("a.v", "b.v")} >= CAST(0.4 AS DOUBLE)""".stripMargin),
     "embed_neardup" ->
       (s"""WITH e AS (SELECT vec_id,
          |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x/n) END AS v,
@@ -588,15 +597,15 @@ object Queries {
     * pair meets on exactly one key, so no distinct is needed. The
     * DuckDB oracle applies the identical bucket + hamming-≤1 rule.
     */
-  def embedNearDup(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double,
+      materialize: Boolean = true): DataFrame = {
     import graft.rag.{AnnLsh, Similarity, VectorExprs}
     val bucketMask = (1 << NeardupPlanes) - 1
     val base = SparkEntry.embeddings(s, dir).select(col("vec_id"),
       VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as("v"),
       AnnLsh.bucketCol(col("embedding").cast("array<double>"))
         .bitwiseAND(lit(bucketMask)).as("bucket"))
-      .persist()
-    base.count() // materialize the normalized sketch once, not per leg
+    if (materialize) { base.persist(); base.count() } // sketch once, not per leg
     val probes = array((col("bucket") +:
       (0 until NeardupPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
     val e = base.select(col("vec_id").as("a_id"), col("v").as("va"),
@@ -606,9 +615,28 @@ object Queries {
     val pairs = e.join(f, Seq("key")).filter(col("a_id") < col("b_id"))
       .filter(Similarity.dot(col("va"), col("vb")) >= threshold)
       .select("a_id", "b_id")
-      .localCheckpoint()
+    if (!materialize) return pairs // lazy plan, for shape audits
+    val out = pairs.localCheckpoint()
     base.unpersist()
-    pairs
+    out
+  }
+
+  /** the EXACT all-pairs near-dup — the recall baseline the blocked
+    * query is measured against (ScaleShapeSpec asserts blocked ⊆ exact
+    * and reports recall). The θ-join is O(n²): correct at oracle
+    * scale, intentionally NOT the production path — `embed_neardup`
+    * (blocked) is. Registered so the driver gate shows BOTH the exact
+    * semantics and the blocked subset rather than hiding the recall
+    * trade inside a rewritten oracle.
+    */
+  def embedNearDupExact(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import graft.rag.{Similarity, VectorExprs}
+    def leg(idAs: String, vAs: String) =
+      SparkEntry.embeddings(s, dir).select(col("vec_id").as(idAs),
+        VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as(vAs))
+    leg("a_id", "va").join(leg("b_id", "vb"), col("a_id") < col("b_id"))
+      .filter(Similarity.dot(col("va"), col("vb")) >= threshold)
+      .select("a_id", "b_id")
   }
 
   /** synthetic multi-section docs: intro line + two headed sections →

@@ -29,6 +29,9 @@ case class HashEmbed(
     child: org.apache.spark.sql.catalyst.expressions.Expression, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    graft.text.TextExprs.requireString(prettyName, child.dataType)
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType, containsNull = false)
@@ -108,15 +111,12 @@ object HashEmbedder {
   def embed(text: String, dim: Int = Dim): Array[Double] = {
     val raw = new Array[Long](dim)
     // memoize the sha256 per distinct token within the row — natural
-    // text repeats tokens heavily; same values, fewer digests
+    // text repeats tokens heavily; same values, fewer digests. The
+    // hash itself is the shared 60-bit basis (TextKernels.hash60).
     val memo = new java.util.HashMap[String, java.lang.Long]()
     Tokenizer.tokenize(text).foreach { t =>
-      val h = memo.computeIfAbsent(t.text, s => {
-        val digest = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(s.getBytes("UTF-8"))
-        val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
-        java.lang.Long.parseLong(hex, 16)
-      }).longValue()
+      val h = memo.computeIfAbsent(t.text,
+        s => graft.text.TextKernels.hash60(s)).longValue()
       val b = (h % dim).toInt
       raw(b) += (if (((h >> 6) % 2) == 0) 1L else -1L)
     }

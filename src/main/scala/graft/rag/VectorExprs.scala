@@ -2,10 +2,11 @@ package graft.rag
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for the dot product of two
   * `array<double>` columns — the hot kernel of cosine scoring, LSH
@@ -22,6 +23,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArrays(prettyName, left.dataType, right.dataType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -70,6 +73,8 @@ case class DotProduct(left: Expression, right: Expression)
 case class L2Normalize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArrays(prettyName, child.dataType)
   override def dataType: DataType = child.dataType
   override def nullIntolerant: Boolean = true
 
@@ -116,7 +121,13 @@ object L2Normalize {
 case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val centArr: Array[Array[Double]] =
@@ -184,6 +195,17 @@ object NearestCentroid {
 
 object VectorExprs {
   import org.apache.spark.sql.GraftExprBridge._
+
+  /** analysis-time type gate: every argument must be array<double> */
+  private[rag] def requireDoubleArrays(fn: String, dts: DataType*): TypeCheckResult =
+    dts.find {
+      case ArrayType(DoubleType, _) => false
+      case _ => true
+    } match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(dt) => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires ARRAY<DOUBLE> arguments, got ${dt.catalogString}")
+    }
 
   /** Column wrapper; callers must pass array<double> (cast upstream). */
   def dotProduct(a: Column, b: Column): Column =

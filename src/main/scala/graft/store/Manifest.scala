@@ -90,9 +90,13 @@ object Manifest {
       import spark.implicits._
       val batch = withPid.filter(col("partition_id").isin(todo: _*))
       // rows_in comes from the INPUT batch (what this attempt was
-      // handed), independent of what extraction emits
+      // handed), independent of what extraction emits. Collected ONCE
+      // (≤ partitionsPerCommit rows) — as a lazy frame it would re-scan
+      // the input for the 'started' write and again for the 'done' one
       val inCounts = batch.groupBy("partition_id")
         .agg(count(lit(1)).as("rows_in"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .toDF("partition_id", "rows_in")
       def manifestRows(status: String, stats: DataFrame,
           finishedTs: Column): DataFrame =
         todo.toSeq.toDF("partition_id")

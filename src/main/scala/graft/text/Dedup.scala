@@ -245,18 +245,23 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, materialize: Boolean = true): DataFrame = {
     val nBlocks = maxHamming + 1
-    require(SimBits % nBlocks == 0,
-      s"SimBits=$SimBits must divide into ${nBlocks} equal pigeonhole blocks")
-    val width = SimBits / nBlocks
-    val blockMask = (1L << width) - 1
+    require(maxHamming >= 0 && maxHamming < SimBits,
+      s"maxHamming must be in [0, ${SimBits - 1}]")
+    // floor/ceil block widths — the pigeonhole argument needs only
+    // that the nBlocks blocks partition all SimBits bits, not that
+    // they are equal
+    val base = SimBits / nBlocks
+    val rem = SimBits % nBlocks
+    val widths = Seq.tabulate(nBlocks)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val s = spread(docs)
       .select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
     if (materialize) { s.persist(); s.count() } // sketch once, not per leg
     val blocks = s.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map(b =>
         struct(lit(b).as("blk"),
-          shiftrightunsigned(col("sim"), b * width)
-            .bitwiseAND(lit(blockMask)).as("key"))): _*)).as("bk"))
+          shiftrightunsigned(col("sim"), offsets(b))
+            .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
     val a = blocks.select(col("id").as("a_id"), col("sim").as("sa"),
       col("blk"), col("key"))
@@ -298,13 +303,18 @@ object Dedup {
     val all = spread(docs)
       .select(col(idCol).as("id"),
         explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
-    // df-cap via a broadcast-able hot list: hot shingles are by
-    // definition few (≤ corpus/maxDf distinct values), so the
-    // anti-join is a broadcast, not a shuffle of the index
+    // the exploded index feeds the df aggregate AND the anti-join left
+    // leg — persist it so the shingle kernel runs once, not twice
+    if (materialize) { all.persist(); all.count() }
+    // df-cap hot list: bounded by corpus-shingles/maxDf, which still
+    // grows with the corpus — no broadcast() hint, so Catalyst/AQE
+    // broadcasts when it fits and falls back to a shuffled anti-join
+    // when it doesn't (a forced broadcast would OOM the driver at
+    // 100 TB)
     val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
-    val sh = all.join(broadcast(hot), Seq("sh"), "left_anti")
-    if (materialize) { sh.persist(); sh.count() } // shared by sizes + legs
+    val sh = all.join(hot, Seq("sh"), "left_anti")
+    if (materialize) { sh.persist(); sh.count(); all.unpersist() }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("a_id"), col("sh"))
     val b = sh.select(col("id").as("b_id"), col("sh"))

@@ -1,10 +1,11 @@
 package graft.text
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernels for the text-sketch hot paths. The composed Column
@@ -31,12 +32,27 @@ object TextKernels {
     out.result().toArray
   }
 
-  /** first 60 bits of sha256(s), as in `substr(sha256(s),1,15)::BIGINT` */
-  private[text] def hash60(s: String): Long = {
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8"))
-    val hex = digest.take(8).map("%02x".format(_)).mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+  private val Sha = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** first 60 bits of sha256(s), as in `substr(sha256(s),1,15)::BIGINT`:
+    * 15 hex digits = the first 8 digest bytes as a big-endian unsigned
+    * long, dropped low nibble — computed without the hex-string
+    * round-trip (zero transient allocations besides the digest), and
+    * with a thread-local MessageDigest. Shared by every sha-derived
+    * kernel (shingles, simhash words, the hash embedder) so the hash
+    * basis cannot drift between them.
+    */
+  def hash60(s: String): Long = {
+    val md = Sha.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** 60-bit hashes of the word 3-shingles (optionally of the distinct
@@ -136,6 +152,8 @@ case class ShingleHashes(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     distinct: Boolean) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireString(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -158,6 +176,8 @@ case class MinHashSig(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireString(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -178,6 +198,8 @@ case class SimHash60(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireString(prettyName, child.dataType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -195,6 +217,14 @@ case class SimHash60(
 
 object TextExprs {
   import org.apache.spark.sql.GraftExprBridge._
+
+  /** analysis-time type gate shared by the text kernels (wrong-typed
+    * SQL args get an AnalysisException, not a runtime ClassCast)
+    */
+  private[graft] def requireString(fn: String, dt: DataType): TypeCheckResult =
+    if (dt == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires a STRING argument, got ${dt.catalogString}")
 
   def shingleHashes(text: Column, distinct: Boolean): Column =
     toColumn(ShingleHashes(toExpression(text), distinct))

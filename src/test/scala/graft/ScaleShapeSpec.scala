@@ -70,28 +70,21 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("embed_neardup plans an equi-join on the LSH bucket, no cartesian") {
-    // same construction as Queries.embedNearDup, pre-checkpoint
-    import graft.rag.{AnnLsh, Similarity, VectorExprs}
-    import spark.implicits._
-    val emb = (0L until 50L)
-      .map(i => (i, graft.rag.HashEmbedder.embed(s"doc $i").map(_.toFloat)))
-      .toDF("vec_id", "embedding")
-    val mask = (1 << Queries.NeardupPlanes) - 1
-    val base = emb.select(col("vec_id"),
-      VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as("v"),
-      AnnLsh.bucketCol(col("embedding").cast("array<double>"))
-        .bitwiseAND(lit(mask)).as("bucket"))
-    val probes = array((col("bucket") +: (0 until Queries.NeardupPlanes)
-      .map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
-    val e = base.select(col("vec_id").as("a_id"), col("v").as("va"),
-      explode(probes).as("key"))
-    val f = base.select(col("vec_id").as("b_id"), col("v").as("vb"),
-      col("bucket").as("key"))
-    val p = plan(e.join(f, Seq("key")).filter(col("a_id") < col("b_id"))
-      .filter(Similarity.dot(col("va"), col("vb")) >= 0.4)
-      .select("a_id", "b_id"))
+    val p = plan(Queries.embedNearDup(spark, sf, 0.4, materialize = false))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("blocked near-dup is a subset of the exact pairs with measured recall") {
+    import spark.implicits._
+    val exact = Queries.embedNearDupExact(spark, sf, 0.4)
+      .as[(Long, Long)].collect().toSet
+    val blocked = Queries.embedNearDup(spark, sf, 0.4)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "blocking must never invent a pair")
+    val recall = if (exact.isEmpty) 1.0 else blocked.size.toDouble / exact.size
+    info(f"near-dup recall at threshold 0.4: $recall%.2f (${blocked.size}/${exact.size})")
+    assert(recall >= 0.4, s"recall $recall collapsed — blocking misconfigured")
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
