@@ -88,6 +88,18 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("source").as("document")),
         "src0").select("doc_id")),
     "collection_count" -> ((s, dir) => StoreOps.collectionCount(docs(s, dir))),
+    // S6 upsert semantics: batch (doc_id >= 300, re-labeled) wins on
+    // chunk_id collision; untouched existing rows survive
+    "append_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = d.filter(col("doc_id") < 400)
+        .select(concat(lit("c"), col("doc_id")).as("chunk_id"),
+          col("source").as("v"))
+      val batch = d.filter(col("doc_id") >= 300)
+        .select(concat(lit("c"), col("doc_id")).as("chunk_id"),
+          concat(lit("new-"), col("source")).as("v"))
+      StoreOps.appendDedup(existing, batch)
+    }),
 
     // ---- S10 resume: pending = domain ∖ manifest(done), left_anti ----
     "resume_pending" -> ((s, dir) => {
@@ -265,6 +277,12 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE source <> 'src0'",
     "collection_count" ->
       "SELECT count(*) AS n FROM documents",
+    "append_dedup" ->
+      ("""SELECT 'c'||doc_id AS chunk_id, 'new-'||source AS v
+         |FROM documents WHERE doc_id >= 300
+         |UNION ALL
+         |SELECT 'c'||doc_id AS chunk_id, source AS v
+         |FROM documents WHERE doc_id < 300""".stripMargin),
     "resume_pending" ->
       "SELECT doc_id FROM documents WHERE doc_id % 16 >= 10",
     "stable_order" ->
