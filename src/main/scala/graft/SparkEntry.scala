@@ -168,6 +168,11 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+    // canonical-doc selection: connected components over the simhash
+    // near-dup graph (component = min reachable doc_id)
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir), "doc_id", "text")),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
     "fingerprint" -> ((s, dir) =>
@@ -519,6 +524,19 @@ object OracleSql {
           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.simhash, b.simhash)) AS hamming
           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+    "dedup_components" ->
+      (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          |edges AS (SELECT a_id AS u, b_id AS v FROM p
+          |  UNION SELECT b_id, a_id FROM p),
+          |reach(node, lab) AS (
+          |  SELECT u, u FROM edges
+          |  UNION
+          |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab)
+          |SELECT node AS id, min(lab) AS component FROM reach GROUP BY node""".stripMargin),
     "ngram_jaccard" ->
       (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
          |sh0 AS (SELECT doc_id, ${sqlHash("unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])))")} AS s FROM w WHERE len(ws) >= 3),

@@ -278,6 +278,49 @@ object Dedup {
     out
   }
 
+  // ---- near-dup clustering: connected components over pairs ----
+
+  /** Connected components of the undirected near-dup candidate graph —
+    * the canonical-document selection step that ends every web-scale
+    * dedup pipeline (each component keeps min-id as canonical).
+    * Standard iterative min-label propagation: every node starts
+    * labeled with itself; each round takes the min of its own and all
+    * neighbors' labels; fixpoint after O(component diameter) rounds.
+    * Each round is one equi-join + one aggregate — the classic
+    * large-graph CC shape (Hash-to-Min family) — with lineage cut by
+    * localCheckpoint per round so the plan does not grow with
+    * iterations. Near-dup components are tiny in practice (dup
+    * clusters, not a social graph), so rounds ≈ 2–4.
+    *
+    * Output: (id, component) for every node that appears in `pairs`,
+    * component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id"), col("u").as("component"))
+      .distinct().localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("component")).as("nbr"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // ---- exact n-gram jaccard ----
 
   /** exact Jaccard over distinct 3-shingle sets, blocked by the

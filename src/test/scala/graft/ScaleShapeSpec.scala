@@ -174,6 +174,18 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getSeq[Long](0).length == Dedup.NumHashes)
   }
 
+  test("connected components: chain, triangle, isolated pair label correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (one component), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ngram df cap drops stop-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares exactly the boilerplate shingle "aa bb cc"
