@@ -186,6 +186,51 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components equal union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min id per component
+      val compMin = nodes.groupBy(id => find(id.toInt))
+        .flatMap { case (_, ids) => ids.map(_ -> ids.min) }
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == compMin, s"edges: $edges")
+    }
+  }
+
+  test("pigeonhole-blocked simhash pairs equal brute-force, incl. uneven block widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // maxHamming = 6 → 7 blocks over 60 bits → widths 9/9/9/9/8/8/8 (uneven)
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val sketches = docs.select(col("doc_id"), Dedup.simhashCol(col("text")))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sketches; (b, sb) <- sketches if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // the corpus actually produces near-dups
+  }
+
   test("ngram df cap drops stop-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares exactly the boilerplate shingle "aa bb cc"
