@@ -297,46 +297,84 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val caller = pairs.sparkSession
+    val sc = caller.sparkContext
+    // the iteration runs in a CHILD session (shared SparkContext, own
+    // SQL conf) so its graph-sized shuffle width cannot leak into — or
+    // race with — concurrent queries on the caller's session
+    val session = caller.newSession()
+
+    // superseded localCheckpoint blocks are dropped eagerly — the
+    // ContextCleaner would reclaim them only at some later GC, which
+    // accumulates blocks in a resident engine that dedups repeatedly
+    def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cp = df.localCheckpoint()
+      (cp, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def dropBlocks(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val edges0 = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+    val (edges0, edges0Blocks) = trackedCheckpoint(
+      fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
     // size the per-round shuffles to the GRAPH, not the session: a
     // near-dup edge set is usually orders of magnitude smaller than
-    // the corpus, and each iteration is join+agg+checkpoint — at the
-    // session's partitioning the rounds are pure task-scheduling
-    // overhead (measured 4.8s → sub-second at sf0.1)
+    // the corpus, and each join+agg+checkpoint round at corpus
+    // partitioning is pure task-scheduling overhead (measured 4.8s →
+    // ~1s at sf0.1); a 100 TB-corpus edge set raises `parts` back to
+    // full parallelism (Long math — an Int division would wrap
+    // negative around 10^14 edges and collapse to one partition)
     val nEdges = edges0.count()
-    val spark = pairs.sparkSession
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, (nEdges / 50000L).toInt + 1))
-    // scope the shuffle width of the iteration to the graph and
-    // restore after — at session width every round is task-scheduling
-    // overhead when the edge set is small, while a 100 TB-corpus edge
-    // set raises `parts` back to full parallelism
-    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try {
-      val edges = edges0.repartition(parts, col("v")).localCheckpoint()
-      var labels = edges.select(col("u").as("id"), col("u").as("component"))
-        .distinct().localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIters) {
-        val neighborMin = edges
-          .join(labels, edges("v") === labels("id"))
-          .groupBy(col("u")).agg(min(col("component")).as("nbr"))
-        val next = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbr"), col("component")))
-              .as("component"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-          .filter(col("component") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    val parts = math.max(1L, math.min(
+      sc.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
+    session.conf.set("spark.sql.shuffle.partitions", parts)
+
+    val inChild = session.createDataFrame(edges0.rdd, edges0.schema)
+    val (edges, edgesBlocks) = trackedCheckpoint(
+      inChild.repartition(parts, col("v")))
+    var (labels, labelsBlocks) = trackedCheckpoint(
+      edges.select(col("u").as("id"), col("u").as("component")).distinct())
+    dropBlocks(edges0Blocks)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // min-label propagation over edges, PLUS pointer jumping
+      // (follow the current label one hop): rounds drop from
+      // O(diameter) to O(log diameter), so a 25-round budget covers
+      // any realistic component — a long drifting boilerplate chain
+      // would need diameter > 2^24 to exhaust it
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("component")).as("nbr"))
+      val half = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+      val byId = half.select(col("id").as("pid"), col("component").as("pcomp"))
+      val (next, nextBlocks) = trackedCheckpoint(
+        half.join(byId, half("component") === byId("pid"), "left")
+          .select(half("id"),
+            least(half("component"), coalesce(col("pcomp"), half("component")))
+              .as("component")))
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      dropBlocks(labelsBlocks)
+      labels = next
+      labelsBlocks = nextBlocks
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters")
+    // hand the result back on the CALLER's session; the child session's
+    // conf dies with it, and the loop's working blocks are released
+    val out = caller.createDataFrame(labels.rdd, labels.schema)
+      .localCheckpoint()
+    dropBlocks(labelsBlocks)
+    dropBlocks(edgesBlocks)
+    out
   }
 
   // ---- exact n-gram jaccard ----
