@@ -336,9 +336,17 @@ object Dedup {
     var (labels, labelsBlocks) = trackedCheckpoint(
       edges.select(col("u").as("id"), col("u").as("component")).distinct())
     dropBlocks(edges0Blocks)
-    var changed = 1L
+    // convergence via the label-sum invariant: labels only ever
+    // decrease, so Σ component strictly decreases exactly while any
+    // label changed — one tiny aggregate per round instead of a
+    // full-frame join-and-compare. Decimal sum: a Long sum overflows
+    // around 10^10 nodes with 10^12-scale ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed && iter < maxIters) {
       // min-label propagation over edges, PLUS pointer jumping
       // (follow the current label one hop): rounds drop from
       // O(diameter) to O(log diameter), so a 25-round budget covers
@@ -357,17 +365,18 @@ object Dedup {
           .select(half("id"),
             least(half("component"), coalesce(col("pcomp"), half("component")))
               .as("component")))
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      val sumNow = labelSum(next)
+      changed = sumNow.compareTo(prevSum) != 0
+      prevSum = sumNow
       dropBlocks(labelsBlocks)
       labels = next
       labelsBlocks = nextBlocks
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — raise maxIters")
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters")
     // hand the result back on the CALLER's session; the child session's
     // conf dies with it, and the loop's working blocks are released
     val out = caller.createDataFrame(labels.rdd, labels.schema)
