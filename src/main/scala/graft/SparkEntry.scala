@@ -182,6 +182,10 @@ object SparkEntry {
     // Dataset[MediaMeta] API
     "mm_meta" -> ((s, dir) => Multimodal.decodeMeta(docs(s, dir)).toDF()
       .withColumn("frame_offsets", concat_ws(",", col("frame_offsets")))),
+    // frame sampling + per-frame feature extraction (stub descriptor =
+    // window digest; real plumbing: one row per sampled frame, no
+    // shuffle)
+    "mm_features" -> ((s, dir) => Multimodal.frameFeatures(docs(s, dir))),
 
     // ---- stable ordering window (north rule) + event-time agg ----
     "stable_order" -> ((s, dir) => {
@@ -576,6 +580,11 @@ object OracleSql {
       (s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($sqlWords, " +
         s"w -> ${sqlHash("w")} % 1000003)), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint " +
         "FROM documents"),
+    "mm_features" ->
+      ("""SELECT doc_id, i AS frame_idx, i*100 AS frame_offset,
+         |  sha256(substr(text, i*100 + 1, 100)) AS frame_digest
+         |FROM documents, (SELECT unnest(range(0, 5)) AS i)
+         |WHERE i < least(length(text)//100 + 1, 5)""".stripMargin),
     "mm_meta" ->
       ("""SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS digest,
          |  1 + (CAST('0x'||substr(sha256(text),1,2) AS INT) << 2) AS width,

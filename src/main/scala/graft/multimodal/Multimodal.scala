@@ -39,6 +39,33 @@ object DecodeStub {
 
 object Multimodal {
 
+  /** frame sampling + per-frame feature extraction, Column-composed:
+    * the payload is windowed at a fixed stride (the frame sampler) and
+    * each frame maps to a deterministic "feature" — here the sha256 of
+    * the window, standing in for a real descriptor exactly like
+    * DecodeStub stands in for a codec. Schema and batch shape are the
+    * real thing: (doc_id, frame_idx, frame_offset, frame_digest), one
+    * row per sampled frame, computed in whole-stage codegen with no
+    * shuffle. Windows are character-based so the DuckDB oracle can
+    * reproduce them (DuckDB lacks BLOB substring); a byte-based codec
+    * would swap `substring` for its binary twin with the same plan.
+    */
+  val FrameStride = 100
+  val MaxFrames = 5
+
+  def frameFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nFrames = least(
+      floor(length(col(textCol)) / FrameStride).cast("int") + 1,
+      lit(MaxFrames))
+    docs.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0), nFrames - 1)))
+      .select(col(idCol), col("pos").as("frame_idx"),
+        (col("pos") * FrameStride).as("frame_offset"),
+        sha2(col(textCol).substr(col("pos") * FrameStride + 1,
+          lit(FrameStride)), 256).as("frame_digest"))
+  }
+
   /** docs(doc_id, text) → MediaMeta, treating the UTF-8 bytes of
     * `text` as the opaque payload. The decode runs per-partition
     * (mapPartitions) — the batch boundary a real codec needs (library

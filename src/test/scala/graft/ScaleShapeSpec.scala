@@ -87,6 +87,30 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, s"recall $recall collapsed — blocking misconfigured")
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    import spark.implicits._
+    val warehouse = java.nio.file.Files.createTempDirectory("bkt").toString
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val facts = (0L until 2000L).map(i => (i % 97, s"f$i")).toDF("k", "payload")
+      val dims = (0L until 97L).map(i => (i, s"d$i")).toDF("k", "attr")
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+      facts.write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$warehouse/facts").saveAsTable("bkt_facts")
+      dims.write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$warehouse/dims").saveAsTable("bkt_dims")
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+      val p = plan(joined)
+      // both sides pre-hashed into the same 8 buckets → the sort-merge
+      // join needs NO shuffle: the write-time layout bought the join
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p)
+      assert(joined.count() == 2000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     val conf = spark.conf
