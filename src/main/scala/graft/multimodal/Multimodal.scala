@@ -59,10 +59,10 @@ object Multimodal {
       floor(length(col(textCol)) / FrameStride).cast("int") + 1,
       lit(MaxFrames))
     docs.select(col(idCol), col(textCol),
-        posexplode(sequence(lit(0), nFrames - 1)))
-      .select(col(idCol), col("pos").as("frame_idx"),
-        (col("pos") * FrameStride).as("frame_offset"),
-        sha2(col(textCol).substr(col("pos") * FrameStride + 1,
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        (col("frame_idx") * FrameStride).as("frame_offset"),
+        sha2(col(textCol).substr(col("frame_idx") * FrameStride + 1,
           lit(FrameStride)), 256).as("frame_digest"))
   }
 

@@ -306,84 +306,106 @@ object Dedup {
 
     // superseded localCheckpoint blocks are dropped eagerly — the
     // ContextCleaner would reclaim them only at some later GC, which
-    // accumulates blocks in a resident engine that dedups repeatedly
-    def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
+    // accumulates blocks in a resident engine that dedups repeatedly.
+    // Tracking is PRECISE: the checkpointed Dataset's own backing RDD
+    // (LogicalRDD), never a global persistent-RDD snapshot diff that
+    // would mis-attribute blocks persisted by concurrent queries.
+    // `live` collects every checkpoint this call created so a failure
+    // anywhere releases them all (finally below).
+    import org.apache.spark.sql.GraftExprBridge.checkpointedRdd
+    val live = scala.collection.mutable.Map[Long, org.apache.spark.rdd.RDD[_]]()
+    var nextKey = 0L
+    def trackedCheckpoint(df: DataFrame): (DataFrame, Long) = {
       val cp = df.localCheckpoint()
-      (cp, sc.getPersistentRDDs.keySet.toSet.diff(before))
+      val key = nextKey
+      nextKey += 1
+      checkpointedRdd(cp).foreach(live += key -> _)
+      (cp, key)
     }
-    def dropBlocks(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def dropBlocks(key: Long): Unit =
+      live.remove(key).foreach(_.unpersist(false))
 
-    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val (edges0, edges0Blocks) = trackedCheckpoint(
-      fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    // size the per-round shuffles to the GRAPH, not the session: a
-    // near-dup edge set is usually orders of magnitude smaller than
-    // the corpus, and each join+agg+checkpoint round at corpus
-    // partitioning is pure task-scheduling overhead (measured 4.8s →
-    // ~1s at sf0.1); a 100 TB-corpus edge set raises `parts` back to
-    // full parallelism (Long math — an Int division would wrap
-    // negative around 10^14 edges and collapse to one partition)
-    val nEdges = edges0.count()
-    val parts = math.max(1L, math.min(
-      sc.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
-    session.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      val (edges0, edges0Key) = trackedCheckpoint(
+        fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+      // size the per-round shuffles to the GRAPH, not the session: a
+      // near-dup edge set is usually orders of magnitude smaller than
+      // the corpus, and each join+agg+checkpoint round at corpus
+      // partitioning is pure task-scheduling overhead (measured 4.8s →
+      // ~1s at sf0.1); a 100 TB-corpus edge set raises `parts` back to
+      // full parallelism (Long math — an Int division would wrap
+      // negative around 10^14 edges and collapse to one partition)
+      val nEdges = edges0.count()
+      if (nEdges == 0) // no pairs → no components; keep the contract total
+        return caller.createDataFrame(sc.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id bigint, component bigint"))
+      val parts = math.max(1L, math.min(
+        sc.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
+      session.conf.set("spark.sql.shuffle.partitions", parts)
 
-    val inChild = session.createDataFrame(edges0.rdd, edges0.schema)
-    val (edges, edgesBlocks) = trackedCheckpoint(
-      inChild.repartition(parts, col("v")))
-    var (labels, labelsBlocks) = trackedCheckpoint(
-      edges.select(col("u").as("id"), col("u").as("component")).distinct())
-    dropBlocks(edges0Blocks)
-    // convergence via the label-sum invariant: labels only ever
-    // decrease, so Σ component strictly decreases exactly while any
-    // label changed — one tiny aggregate per round instead of a
-    // full-frame join-and-compare. Decimal sum: a Long sum overflows
-    // around 10^10 nodes with 10^12-scale ids.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIters) {
-      // min-label propagation over edges, PLUS pointer jumping
-      // (follow the current label one hop): rounds drop from
-      // O(diameter) to O(log diameter), so a 25-round budget covers
-      // any realistic component — a long drifting boilerplate chain
-      // would need diameter > 2^24 to exhaust it
-      val neighborMin = edges
-        .join(labels, edges("v") === labels("id"))
-        .groupBy(col("u")).agg(min(col("component")).as("nbr"))
-      val half = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
-      val byId = half.select(col("id").as("pid"), col("component").as("pcomp"))
-      val (next, nextBlocks) = trackedCheckpoint(
-        half.join(byId, half("component") === byId("pid"), "left")
-          .select(half("id"),
-            least(half("component"), coalesce(col("pcomp"), half("component")))
-              .as("component")))
-      val sumNow = labelSum(next)
-      changed = sumNow.compareTo(prevSum) != 0
-      prevSum = sumNow
-      dropBlocks(labelsBlocks)
-      labels = next
-      labelsBlocks = nextBlocks
-      iter += 1
+      val inChild = session.createDataFrame(edges0.rdd, edges0.schema)
+      val (edges, edgesKey) = trackedCheckpoint(
+        inChild.repartition(parts, col("v")))
+      var (labels, labelsKey) = trackedCheckpoint(
+        edges.select(col("u").as("id"), col("u").as("component")).distinct())
+      dropBlocks(edges0Key)
+      // convergence via the label-sum invariant: labels only ever
+      // decrease, so Σ component strictly decreases exactly while any
+      // label changed — one tiny aggregate per round instead of a
+      // full-frame join-and-compare. Decimal sum: a Long sum overflows
+      // around 10^10 nodes with 10^12-scale ids.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var changed = true
+      var iter = 0
+      while (changed && iter < maxIters) {
+        // min-label propagation over edges, PLUS pointer jumping
+        // (follow the current label one hop): rounds drop from
+        // O(diameter) to O(log diameter), so a 25-round budget covers
+        // any realistic component — a long drifting boilerplate chain
+        // would need diameter > 2^24 to exhaust it. `half` is
+        // checkpointed before the self-join: both jump legs read the
+        // materialized rows instead of re-running the neighbor-min
+        // join+aggregate twice.
+        val neighborMin = edges
+          .join(labels, edges("v") === labels("id"))
+          .groupBy(col("u")).agg(min(col("component")).as("nbr"))
+        val (half, halfKey) = trackedCheckpoint(
+          labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
+            .select(col("id"),
+              least(col("component"), coalesce(col("nbr"), col("component")))
+                .as("component")))
+        val byId = half.select(col("id").as("pid"), col("component").as("pcomp"))
+        val (next, nextKey2) = trackedCheckpoint(
+          half.join(byId, half("component") === byId("pid"), "left")
+            .select(half("id"),
+              least(half("component"), coalesce(col("pcomp"), half("component")))
+                .as("component")))
+        dropBlocks(halfKey)
+        val sumNow = labelSum(next)
+        changed = sumNow.compareTo(prevSum) != 0
+        prevSum = sumNow
+        dropBlocks(labelsKey)
+        labels = next
+        labelsKey = nextKey2
+        iter += 1
+      }
+      if (changed)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — " +
+            "raise maxIters")
+      // hand the result back on the CALLER's session; the child
+      // session's conf dies with it
+      caller.createDataFrame(labels.rdd, labels.schema).localCheckpoint()
+    } finally {
+      // releases every checkpoint this call still holds — including on
+      // non-convergence or a mid-loop job failure
+      live.values.foreach(_.unpersist(false))
+      live.clear()
     }
-    if (changed)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds — " +
-          "raise maxIters")
-    // hand the result back on the CALLER's session; the child session's
-    // conf dies with it, and the loop's working blocks are released
-    val out = caller.createDataFrame(labels.rdd, labels.schema)
-      .localCheckpoint()
-    dropBlocks(labelsBlocks)
-    dropBlocks(edgesBlocks)
-    out
   }
 
   // ---- exact n-gram jaccard ----

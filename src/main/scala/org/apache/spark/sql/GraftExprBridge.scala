@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExprBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The exact RDD backing a `localCheckpoint()`ed Dataset (its plan is
+    * a LogicalRDD over the checkpointed, persisted RDD). Lets callers
+    * unpersist precisely their own checkpoint blocks — a global
+    * `sc.getPersistentRDDs` before/after diff would mis-attribute
+    * blocks persisted concurrently by other queries.
+    */
+  def checkpointedRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

@@ -108,7 +108,16 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("Exchange"), p)
       assert(joined.count() == 2000)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(warehouse))
+    }
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
@@ -208,6 +217,12 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components of an empty pair set is the empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
   test("connected components equal union-find on random graphs") {
