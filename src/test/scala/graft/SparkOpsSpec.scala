@@ -159,6 +159,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1.map(_.toVector) == c2.map(_.toVector))
   }
 
+  test("driver entry smoke: flagship query yields rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("store: appendDedup keeps newest row per chunk_id") {
     import spark.implicits._
     val existing = Seq(("c1", "old"), ("c2", "old")).toDF("chunk_id", "v")
