@@ -43,7 +43,7 @@ object MultiProcBench {
       })
     def run(): (Long, Double) = {
       val t0 = System.nanoTime()
-      val df = spark.read.parquet(files: _*)
+      val df = spark.read.parquet(files.toIndexedSeq: _*)
       val row = graft.extract.ExtractPipeline.overTranscripts(df)
         .agg(count(lit(1)), sum(length(col("markdown")))).collect()(0)
       (row.getLong(0), (System.nanoTime() - t0) / 1e9)

@@ -83,12 +83,12 @@ object Manifest {
       // attempt counts PRIOR 'started' rows for these partitions — a
       // crash between the started append and the done append leaves the
       // started row behind, so a resume records attempt 2, not 1
-      val attempt = 1 + manifest.filter(col("partition_id").isin(todo: _*)
+      val attempt = 1 + manifest.filter(col("partition_id").isin(todo.toIndexedSeq: _*)
           && col("status") === "started")
         .agg(coalesce(max("attempt"), lit(0))).collect()(0).getInt(0)
 
       import spark.implicits._
-      val batch = withPid.filter(col("partition_id").isin(todo: _*))
+      val batch = withPid.filter(col("partition_id").isin(todo.toIndexedSeq: _*))
       // rows_in comes from the INPUT batch (what this attempt was
       // handed), independent of what extraction emits. Collected ONCE
       // (≤ partitionsPerCommit rows) — as a lazy frame it would re-scan
@@ -126,7 +126,7 @@ object Manifest {
       // must still be marked done or resume would retry it forever.
       val finished = new java.sql.Timestamp(System.currentTimeMillis())
       val outStats = scala.util.Try(spark.read.parquet(outDir))
-        .map(_.filter(col("partition_id").isin(todo: _*))
+        .map(_.filter(col("partition_id").isin(todo.toIndexedSeq: _*))
           .groupBy("partition_id").agg(
             count(lit(1)).as("rows_out"),
             count(when(col("status") === "ok", 1)).as("ok_rows"),

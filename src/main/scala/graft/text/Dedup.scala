@@ -357,7 +357,7 @@ object Dedup {
       // full-frame join-and-compare. Decimal sum: a Long sum overflows
       // around 10^10 nodes with 10^12-scale ids.
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var changed = true
       var iter = 0
