@@ -50,28 +50,44 @@ object Validation {
     if (n > MaxBatchFiles) Invalid(s"batch exceeds $MaxBatchFiles files")
     else Valid
 
+  /** Resolve like Python's Path.resolve(strict=False): walk the
+    * absolute path COMPONENT-WISE, resolving each existing prefix's
+    * symlinks BEFORE applying a later `..`. Lexically normalizing
+    * first would collapse `root/L/../x` to `root/x` even when L is a
+    * symlink out of the root — the OS (and the reference) resolve L
+    * first, so `..` climbs from the link *target*. Segments that do
+    * not exist yet (or a symlink loop) fall back to lexical appends,
+    * matching strict=False.
+    */
+  def resolvePosix(path: String): java.nio.file.Path = {
+    val abs = java.nio.file.Paths.get(path).toAbsolutePath
+    var cur = abs.getRoot
+    val it = abs.iterator()
+    while (it.hasNext) {
+      val seg = it.next().toString
+      if (seg == "." || seg.isEmpty) ()
+      else if (seg == "..") {
+        val p = cur.getParent
+        if (p != null) cur = p
+      } else {
+        val cand = cur.resolve(seg)
+        cur =
+          try cand.toRealPath() // resolves the symlink when it exists
+          catch { case _: java.io.IOException => cand } // not yet created
+      }
+    }
+    cur
+  }
+
   /** S4 — path sandbox (simple_server.py:98-150): resolved path must
     * live under one of the allowed roots. Resolution follows symlinks
-    * (like the reference's Path.resolve()) — a symlink inside an
-    * allowed root pointing outside it must NOT pass. For path segments
-    * that do not exist yet, the deepest existing ancestor is resolved
-    * and the remainder appended lexically, matching Python's
-    * Path.resolve(strict=False).
+    * component-wise before `..` is applied (resolvePosix above) — a
+    * symlink inside an allowed root pointing outside it must NOT pass,
+    * including via the `root/link/../x` parent-traversal form.
     */
   def validateSandboxed(path: String, allowedRoots: Seq[String]): Result = {
-    def real(p: java.nio.file.Path): java.nio.file.Path =
-      try p.toRealPath()
-      catch {
-        case _: java.io.IOException =>
-          val parent = p.getParent
-          if (parent == null) p
-          else real(parent).resolve(p.getFileName)
-      }
-    val resolved = real(java.nio.file.Paths.get(path).toAbsolutePath.normalize)
-    val ok = allowedRoots.exists { root =>
-      resolved.startsWith(
-        real(java.nio.file.Paths.get(root).toAbsolutePath.normalize))
-    }
+    val resolved = resolvePosix(path)
+    val ok = allowedRoots.exists(root => resolved.startsWith(resolvePosix(root)))
     if (ok) Valid else Invalid(s"path outside allowed roots: $resolved")
   }
 }

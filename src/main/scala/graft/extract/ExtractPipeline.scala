@@ -35,13 +35,15 @@ object ExtractPipeline {
     LintNormalize.normalizeJoin(elements)
   }
 
-  /** C12 wrapper: (status, markdown-or-empty, error-or-empty). */
+  /** C12 wrapper: (status, markdown-or-empty, error-or-empty). The
+    * null/empty guard runs BEFORE the kernel so an empty payload is
+    * reported as the intended "empty input", not as whatever exception
+    * the parser happens to raise on null.
+    */
   def extractSafe(payload: String): (String, String, String) =
-    try {
-      val md = extract(payload)
-      if (payload == null || payload.isEmpty) ("err", "", "empty input")
-      else ("ok", md, "")
-    } catch {
+    if (payload == null || payload.isEmpty) ("err", "", "empty input")
+    else try ("ok", extract(payload), "")
+    catch {
       case e: Exception => ("err", "", String.valueOf(e.getMessage))
     }
 

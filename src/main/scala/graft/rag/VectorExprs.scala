@@ -123,7 +123,10 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      TypeCheckResult.TypeCheckSuccess
+      if (cents.nonEmpty && cents.exists(_.length != cents.head.length))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName centroids must all share one dimension")
+      else TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${dt.catalogString}")
   }
@@ -163,13 +166,22 @@ object NearestCentroid {
     acc
   }
 
-  /** static entry for generated code */
+  /** static entry for generated code. Malformed rows FAIL loudly: a
+    * null element or a dimension mismatch would otherwise read garbage
+    * through the primitive accessors and return a silently-wrong cell.
+    */
   def assign(arr: ArrayData, isFloat: Boolean, cents: Array[Array[Double]],
       centNorms: Array[Double]): Int = {
     val n = arr.numElements()
+    if (cents.nonEmpty && n != cents(0).length)
+      throw new IllegalArgumentException(
+        s"NearestCentroid: vector dim $n != centroid dim ${cents(0).length}")
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"NearestCentroid: null element at index $i in input vector")
       v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

@@ -18,24 +18,26 @@ object SkewAgg {
 
   /** Σ value per key, salted. Exactly equal to
     * `df.groupBy(key).agg(sum, count)` — associative combine.
+    *
+    * The salt is a pure function of ROW CONTENT (xxhash64 over every
+    * column), never of physical placement: spark_partition_id() or
+    * monotonically_increasing_id() would re-salt rows differently when
+    * a retried/speculated upstream task re-distributes them (after a
+    * round-robin repartition or any nondeterministic shuffle), so some
+    * reducers would fetch partials salted one way and others another —
+    * the SPARK-23207 silent-corruption class. A content hash is
+    * invariant under any re-partitioning, so retries always reproduce
+    * the same salt. Residual limit: byte-identical duplicate rows share
+    * a bucket — a hot key whose rows are exact duplicates still lands
+    * on one reducer. Callers with that shape should include a
+    * distinguishing column (an event id, an offset) in the frame; any
+    * column that varies across the hot key's rows restores the spread.
     */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
       salt: Int = 16): DataFrame = {
-    // salt must be DETERMINISTIC per row: with
-    // monotonically_increasing_id() a retried/speculated task would
-    // re-salt rows differently than the partials other reducers
-    // already fetched (SPARK-23207 class) and silently corrupt totals.
-    // Hashing (key, value) alone degenerates when the hot key's value
-    // column has low cardinality (every ("hot", 1) row lands in ONE
-    // bucket — the very skew being mitigated), so the input partition
-    // id is mixed in: it is stable under task retry (a re-run recomputes
-    // the same split) and spreads identical rows across buckets.
-    // Residual limit: low-cardinality values WITHIN one input partition
-    // still share a bucket, which is bounded by partition size, not key
-    // frequency.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(keyCol).cast("string"), col(valueCol).cast("string"),
-        spark_partition_id()), lit(salt.toLong)))
+      pmod(xxhash64(df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*),
+        lit(salt.toLong)))
     salted.groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(keyCol))

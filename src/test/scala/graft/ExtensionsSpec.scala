@@ -9,12 +9,18 @@ import org.scalatest.BeforeAndAfterAll
   */
 class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate ignores withExtensions when another suite leaked a
+    // live session — stop it so injection is actually exercised,
+    // independent of suite order
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   override def afterAll(): Unit = spark.stop()
 
@@ -48,6 +54,30 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 3) // "a b c","b c a","c a b" distinct of 6
     assert(r.getSeq[Double](5) == Seq(0.6, 0.8))
+  }
+
+  test("nearest_centroid fails loudly on dim mismatch and null elements") {
+    import org.apache.spark.sql.functions._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    def msgOf(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb ++= " " + String.valueOf(c.getMessage); c = c.getCause }
+      sb.toString
+    }
+    val mismatch = intercept[Throwable] {
+      spark.range(1).select(graft.rag.VectorExprs.nearestCentroid(
+        array(lit(1.0), lit(2.0), lit(3.0)), cents)).collect()
+    }
+    assert(msgOf(mismatch).contains("dim"))
+    val nul = intercept[Throwable] {
+      spark.range(1).select(graft.rag.VectorExprs.nearestCentroid(
+        array(lit(1.0), lit(null).cast("double")), cents)).collect()
+    }
+    assert(msgOf(nul).contains("null element"))
+    val ok = spark.range(1).select(graft.rag.VectorExprs.nearestCentroid(
+      array(lit(0.9), lit(0.1)), cents)).head().getInt(0)
+    assert(ok == 0)
   }
 
   test("store trait: parquet realization round-trips + partition overwrite") {

@@ -47,6 +47,11 @@ class ExtractGoldenSpec extends AnyFunSuite {
     assert(s == "err")
   }
 
+  test("null and empty payloads report the intended 'empty input' error") {
+    assert(ExtractPipeline.extractSafe(null) == ("err", "", "empty input"))
+    assert(ExtractPipeline.extractSafe("") == ("err", "", "empty input"))
+  }
+
   test("lint normalize collapses blank runs and trailing space") {
     assert(LintNormalize.normalize("a  \n\n\n\nb\n\n") == "a\n\nb\n")
   }

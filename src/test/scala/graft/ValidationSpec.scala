@@ -55,6 +55,20 @@ class ValidationSpec extends AnyFunSuite {
     assert(tests.embedding_model && tests.llm && tests.vector_store)
   }
 
+  test("sandbox: symlink resolves BEFORE '..' — root/link/../x climbs from the target") {
+    val root = java.nio.file.Files.createTempDirectory("sbx2").toString
+    val outside = java.nio.file.Files.createTempDirectory("out2")
+    val link = java.nio.file.Paths.get(root, "ldir")
+    java.nio.file.Files.createSymbolicLink(link, outside)
+    // lexical collapse would turn root/ldir/../esc.pdf into root/esc.pdf
+    // (inside!); symlink-first resolution climbs from `outside`'s parent
+    val r = Validation.validateSandboxed(s"$root/ldir/../esc.pdf", Seq(root))
+    assert(!r.isValid)
+    // and the resolved form names the true parent, not the lexical one
+    assert(Validation.resolvePosix(s"$root/ldir/../esc.pdf") ==
+      outside.toRealPath().getParent.resolve("esc.pdf"))
+  }
+
   test("sandbox: resolved path must be under an allowed root") {
     assert(validateSandboxed("/tmp/a/../b.pdf", Seq("/tmp")).isValid)
     assert(!validateSandboxed("/tmp/../etc/passwd", Seq("/tmp")).isValid)
