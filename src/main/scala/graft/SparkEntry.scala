@@ -62,6 +62,14 @@ object SparkEntry {
       ChunkOps.sections(Queries.headingDocs(docs(s, dir))).toDF()),
     "chunk_overflow_multi" -> ((s, dir) =>
       ChunkOps.sections(Queries.overflowDocs(docs(s, dir))).toDF()),
+    // K2's stride/overlap path: 1200 fixed-width tokens → 3 overlapping
+    // windows per doc with closed-form char offsets
+    "chunk_tokens_multi" -> ((s, dir) =>
+      ChunkOps.byTokens(Queries.tokenDocs(docs(s, dir))).toDF()),
+    // K3's AT-trigger + discard-without-AT quirk: 2 chunks per doc,
+    // the AT-free intro line dropped
+    "chunk_at_multi" -> ((s, dir) =>
+      ChunkOps.byAtCommands(Queries.atDocs(docs(s, dir))).toDF()),
     "chunk_meta" -> ((s, dir) => {
       val d = docs(s, dir)
       ChunkOps.metaColumns(col("text")).foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -132,6 +140,10 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         Confidence.perRow(col("text"), Queries.RagQuery).as("confidence"))),
     "rag_query" -> ((s, dir) => Queries.ragQuery(s, dir)),
+    // V10's response `sources` list (llm_integration.py:213-239,
+    // retrieval.py:123-138): the ranked retrieved chunks with document
+    // name and relevance score
+    "rag_sources" -> ((s, dir) => Queries.ragSources(s, dir)),
     "embed_neardup" -> ((s, dir) => Queries.embedNearDup(s, dir, 0.4)),
     "embed_neardup_exact" -> ((s, dir) => Queries.embedNearDupExact(s, dir, 0.4)),
     // V4's metadata-filter path (vector_store.py:137-139 `where`):
@@ -150,13 +162,23 @@ object SparkEntry {
       e.select(col("vec_id"),
         AnnIvf.cellCol(col("embedding"), AnnIvf.centroids(e)).as("cell"))
     }),
-    // IVF with k-means-trained centroids (sampled Lloyd, deterministic;
-    // no SQL oracle — centroid training is not SQL-expressible — so the
-    // driver records rows-only; recall vs brute force is ScalaTest-gated)
+    // IVF with k-means-trained centroids (sampled Lloyd,
+    // deterministic). Training itself is not SQL-expressible, but it
+    // is driver-side and bounded — so the TRAINED centroids and probe
+    // cells are recorded here and inlined as literals into the DuckDB
+    // oracle (oracleSql is dumped by Verify AFTER the queries run), the
+    // same constants-shared pattern as AnnLsh.sqlBucketExpr. The
+    // assignment+probe+rank downstream of training is then fully
+    // oracle-checked.
     "ann_ivf_kmeans" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      AnnIvf.searchKmeans(e, Queries.queryVec(s, dir), k = 10)
-        .select("vec_id", "score")
+      val cents = AnnIvf.kmeansCentroids(e)
+      val qv = Queries.queryVec(s, dir)
+      val probes = AnnIvf.probeCells(qv, cents)
+      Queries.lastKmeans = Some((cents, probes))
+      TopK.search(
+        e.filter(AnnIvf.cellCol(col("embedding"), cents).isin(probes: _*)),
+        qv, k = 10).select("vec_id", "score")
     }),
 
     // ---- training-data pipeline: dedup / text analysis / multimodal ----
@@ -335,6 +357,41 @@ object SparkEntry {
          |  false AS has_code_blocks,
          |  (contains(content, '|') AND contains(content, chr(10))) AS has_tables
          |FROM c""".stripMargin),
+    // K2 window gate: token i of the 1200-token fixture spans chars
+    // [10i, 10i+9); with maxTokens=512, stride=462 the windows start at
+    // tokens 0/462/924, so (start_char, end_char) = (0,5119), (4620,
+    // 9739), (9240,11999) and content is the matching substring
+    "chunk_tokens_multi" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(0, 1200),
+         |      i -> 'd'||lpad(doc_id::VARCHAR,4,'0')||lpad(i::VARCHAR,4,'0')), ' ') AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, 0 AS chunk_index, 0 AS start_char, 5119 AS end_char FROM base
+         |  UNION ALL SELECT doc_id, text, 1, 4620, 9739 FROM base
+         |  UNION ALL SELECT doc_id, text, 2, 9240, 11999 FROM base)
+         |SELECT 'doc-'||doc_id||'_'||chunk_index AS chunk_id, 'doc-'||doc_id AS document,
+         |  chunk_index, CAST(NULL AS VARCHAR) AS section,
+         |  substr(text, start_char + 1, end_char - start_char) AS content,
+         |  start_char, end_char,
+         |  len(regexp_extract_all(substr(text, start_char + 1, end_char - start_char), '$TokRe')) AS token_count,
+         |  '' AS at_commands, 0 AS at_command_count,
+         |  false AS has_code_blocks, false AS has_tables
+         |FROM c""".stripMargin),
+    // K3 gate: the AT-free intro chunk is DISCARDED (reference quirk),
+    // leaving exactly the two AT-anchored chunks per doc
+    "chunk_at_multi" ->
+      (s"""WITH c AS (
+         |  SELECT doc_id, 0 AS chunk_index,
+         |    'AT+CMGF one '||doc_id||chr(10)||'filler between '||doc_id AS content,
+         |    1 AS start_char, 3 AS end_char, 'AT+CMGF' AS at_commands FROM documents
+         |  UNION ALL SELECT doc_id, 1, 'AT+CSQ two '||doc_id, 3, 4, 'AT+CSQ' FROM documents)
+         |SELECT 'doc-'||doc_id||'_'||chunk_index AS chunk_id, 'doc-'||doc_id AS document,
+         |  chunk_index, CAST(NULL AS VARCHAR) AS section, content, start_char, end_char,
+         |  len(regexp_extract_all(content, '$TokRe')) AS token_count,
+         |  at_commands, 1 AS at_command_count,
+         |  false AS has_code_blocks, false AS has_tables
+         |FROM c""".stripMargin),
     // TPC-H-shaped relational coverage; money math in integer cents /
     // cent-percent units, final sums as DOUBLE for the pandas bridge
     "tpch_pricing" ->
@@ -370,7 +427,14 @@ object SparkEntry {
         "substr(lower(trim(regexp_replace(regexp_replace('doc-'||doc_id, '[^\\w\\s-]', '_', 'g'), '[_\\s]+', '_', 'g'), '_')), 1, 30) " +
         "|| '_' || substr(sha256('doc-'||doc_id||'|0|'||substr(text||chr(10),1,100)), 1, 16) AS chunk_key " +
         "FROM documents")
-  ) ++ OracleSql.retrieval ++ OracleSql.textOps
+  ) ++ OracleSql.retrieval ++ OracleSql.textOps ++
+    // present only once the ann_ivf_kmeans query has trained (Verify
+    // dumps oracleSql after running every query, so the driver's flow
+    // always sees it); standalone evaluation before training degrades
+    // to the old rows-only check rather than inventing centroids
+    Queries.lastKmeans.map { case (cents, probes) =>
+      "ann_ivf_kmeans" -> OracleSql.kmeansSql(cents, probes)
+    }
 }
 
 /** DuckDB oracle SQL for the retrieval operators — built from the same
@@ -423,14 +487,19 @@ object OracleSql {
          |  FROM embeddings WHERE label = 1)
          |SELECT vec_id, label, $scoreCase AS score FROM s
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    // the Spark side emits the centroid's 0-based INDEX in the
+    // sorted-by-key list (AnnIvf.cellCol), so the oracle labels cells
+    // by row_number-1 over the same ordering — NOT by the centroid's
+    // vec_id, which only coincides with the index for a dense 0-based
+    // key domain
     "ivf_assign" -> {
       def cos(a: String, b: String) =
         s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
-      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT ${graft.rag.AnnIvf.NCells})),
+      s"""WITH c AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cidx, embedding::DOUBLE[] AS cv FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT ${graft.rag.AnnIvf.NCells})),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sc AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c)
-         |SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1""".stripMargin
+         |sc AS (SELECT e.vec_id, c.cidx, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c)
+         |SELECT vec_id, CAST(cidx AS INT) AS cell FROM (SELECT vec_id, cidx,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn FROM sc) WHERE rn = 1""".stripMargin
     },
     "ann_lsh" ->
       (s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
@@ -473,6 +542,12 @@ object OracleSql {
          |     least(CAST(1.0 AS DOUBLE), sum($relevantCase) / CAST(count(*) AS DOUBLE)))
          |    / CAST(3.0 AS DOUBLE))) AS confidence
          |FROM top5 JOIN documents ON top5.vec_id = documents.doc_id""".stripMargin),
+    "rag_sources" ->
+      (scoredCte +
+        s""",
+         |top5 AS (SELECT vec_id, $scoreCase AS score FROM s ORDER BY score DESC, vec_id LIMIT 5)
+         |SELECT vec_id, source AS document, score
+         |FROM top5 JOIN documents ON top5.vec_id = documents.doc_id""".stripMargin),
     "embed_neardup_exact" ->
       (s"""WITH e AS (SELECT vec_id,
          |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x/n) END AS v
@@ -491,6 +566,32 @@ object OracleSql {
          |FROM e a JOIN e b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
          |WHERE ${dot("a.v", "b.v")} >= CAST(0.4 AS DOUBLE)""".stripMargin)
   )
+
+  /** ann_ivf_kmeans oracle: the driver-trained centroids and probe
+    * cells inlined as literals (Double.toString is shortest-round-trip,
+    * so DuckDB parses back the bit-identical doubles); downstream
+    * assignment (first-max-wins via ORDER BY s DESC, cidx), probe
+    * filter and exact rank are plain SQL, mirroring the ann_ivf oracle.
+    */
+  def kmeansSql(cents: Seq[Array[Double]], probes: Seq[Int]): String = {
+    def cos(a: String, b: String) =
+      s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH c(cidx, cv) AS (SELECT * FROM (VALUES $rows)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id, c.cidx, ${cos("e.v", "c.cv")} AS s FROM e CROSS JOIN c),
+       |cells AS (SELECT vec_id, cidx FROM (SELECT vec_id, cidx,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn FROM sc) WHERE rn = 1),
+       |cand AS (SELECT e.vec_id, e.v FROM e JOIN cells USING (vec_id)
+       |  WHERE cells.cidx IN (${probes.mkString(",")})),
+       |fs AS (SELECT vec_id, ${dot("v", "(SELECT qe FROM q)")} AS dot,
+       |  ${nrm("v")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb FROM cand)
+       |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(na*nb) END AS score
+       |FROM fs ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   // ---- training-data ops ----
 
@@ -601,6 +702,12 @@ object Queries {
   /** the fixed RAG question used by confidence/rag_query oracles */
   val RagQuery = "spark join performance"
 
+  /** artifacts of the latest ann_ivf_kmeans training — (centroids,
+    * probe cells), recorded by the query lambda so oracleSql (dumped
+    * by Verify after the queries run) can inline them as literals.
+    */
+  @volatile private[graft] var lastKmeans: Option[(Seq[Array[Double]], Seq[Int])] = None
+
   /** query vector = embedding of vec_id 0, as doubles (the reference
     * embeds the query text; here the query arrives pre-embedded —
     * vector_store.py:151-179 search_with_embedding).
@@ -619,6 +726,19 @@ object Queries {
     val ctx = top.join(SparkEntry.docs(s, dir),
       col("vec_id") === col("doc_id"))
     graft.rag.Confidence.overChunks(ctx, "text", RagQuery)
+  }
+
+  /** V10's formatted sources list: the top-5 retrieved chunks joined
+    * to document metadata — (vec_id, document, relevance score), the
+    * response contract of llm_integration.py:213-239 with the LLM call
+    * stubbed exactly like ragQuery.
+    */
+  def ragSources(s: SparkSession, dir: String): DataFrame = {
+    val top = graft.rag.TopK.search(
+      SparkEntry.embeddings(s, dir), queryVec(s, dir), k = 5)
+      .select("vec_id", "score")
+    top.join(SparkEntry.docs(s, dir), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("source").as("document"), col("score"))
   }
 
   /** planes used for near-dup blocking (lower 4 of AnnLsh's 8 — fewer
@@ -694,6 +814,34 @@ object Queries {
       concat(lit("Intro for doc "), col("doc_id"),
         lit(".\n# Alpha\nAlpha body "), col("doc_id"),
         lit("\n# Beta\nBeta body "), col("doc_id")).as("text"))
+
+  /** synthetic fixed-geometry token docs for the K2 sliding-window
+    * gate: 1200 tokens of exactly 9 chars ('d' + 4-digit doc id +
+    * 4-digit position), single-space joined, so token i spans chars
+    * [10i, 10i+9). With maxTokens=512, overlap=50 (stride 462) the
+    * window MUST produce 3 overlapping chunks at char offsets the
+    * oracle computes in closed form — the stride/overlap arithmetic of
+    * reference chunking.py:116-144 becomes driver-visible.
+    */
+  def tokenDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(transform(sequence(lit(0), lit(1199)), i =>
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 4, "0"),
+          lpad(i.cast("string"), 4, "0"))), " ").as("text"))
+
+  /** synthetic multi-AT docs for the K3 gate: an AT-free intro line,
+    * then alternating AT-command and filler lines. Exercises BOTH
+    * distinctive reference behaviors (chunking.py:146-215): a new
+    * chunk opens when a line has an AT command and the current chunk
+    * already holds one, and a flushed chunk WITHOUT any AT command is
+    * silently discarded (the intro line vanishes from the output).
+    */
+  def atDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("intro doc "), col("doc_id"), lit(" no command here.\n"),
+      lit("AT+CMGF one "), col("doc_id"), lit("\n"),
+      lit("filler between "), col("doc_id"), lit("\n"),
+      lit("AT+CSQ two "), col("doc_id")).as("text"))
 
   /** synthetic over-budget docs: two ~400-token sentence-final lines +
     * a short tail → the first two lines overflow maxTokens=512 and the

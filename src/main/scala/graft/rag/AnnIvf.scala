@@ -20,19 +20,42 @@ object AnnIvf {
   val NCells = 16
   val NProbe = 2
 
+  /** Centroid tables are per-corpus-snapshot artifacts: a resident
+    * engine must not re-run the training/collect job on every
+    * `search()` call. Cache key = the analyzed plan's semanticHash
+    * (same source + same projection ⇒ same snapshot in this engine's
+    * immutable-corpus model) + the training parameters. Bounded: a
+    * table this size (≤ 64 entries × nCells × dim doubles) can never
+    * grow into a driver-memory risk; on overflow the whole cache is
+    * dropped and re-trained lazily.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
+  private def cachedCentroids(emb: DataFrame, params: String)(
+      train: => Seq[Array[Double]]): Seq[Array[Double]] = {
+    if (centroidCache.size > 64) centroidCache.clear()
+    val key = s"${emb.queryExecution.analyzed.semanticHash()}|$params"
+    centroidCache.computeIfAbsent(key, _ => train)
+  }
+
+  /** test hook: drop all cached centroid tables */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+
   /** deterministic coarse centroids: embeddings of the nCells smallest
-    * keys, as doubles.
+    * keys, as doubles. Cached per corpus snapshot (see centroidCache).
     */
   def centroids(emb: DataFrame, keyCol: String = "vec_id",
-      embeddingCol: String = "embedding", nCells: Int = NCells): Seq[Array[Double]] = {
-    // first nCells rows by key — works for any orderable key domain
-    // (not just dense 0-based ids)
-    val cents = emb.orderBy(col(keyCol)).limit(nCells)
-      .select(col(embeddingCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray).toSeq
-    require(cents.nonEmpty, "IVF needs a non-empty corpus for centroids")
-    cents
-  }
+      embeddingCol: String = "embedding", nCells: Int = NCells): Seq[Array[Double]] =
+    cachedCentroids(emb, s"first|$nCells|$keyCol|$embeddingCol") {
+      // first nCells rows by key — works for any orderable key domain
+      // (not just dense 0-based ids)
+      val cents = emb.orderBy(col(keyCol)).limit(nCells)
+        .select(col(embeddingCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      require(cents.nonEmpty, "IVF needs a non-empty corpus for centroids")
+      cents
+    }
 
   /** cell = index of the max-cosine centroid; first max wins ties
     * (same rule as the oracle's ORDER BY s DESC, cid). Native one-pass
@@ -96,7 +119,14 @@ object AnnIvf {
     */
   def kmeansCentroids(emb: DataFrame, nCells: Int = NCells, iters: Int = 5,
       maxSample: Int = 4096, keyCol: String = "vec_id",
-      embeddingCol: String = "embedding"): Seq[Array[Double]] = {
+      embeddingCol: String = "embedding"): Seq[Array[Double]] =
+    cachedCentroids(emb, s"kmeans|$nCells|$iters|$maxSample|$keyCol|$embeddingCol") {
+      kmeansTrain(emb, nCells, iters, maxSample, keyCol, embeddingCol)
+    }
+
+  private def kmeansTrain(emb: DataFrame, nCells: Int, iters: Int,
+      maxSample: Int, keyCol: String,
+      embeddingCol: String): Seq[Array[Double]] = {
     val sample = emb
       .select(col(embeddingCol).cast("array<double>").as("v"),
         xxhash64(col(keyCol)).as("h"))

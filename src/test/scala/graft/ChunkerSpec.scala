@@ -30,6 +30,28 @@ class ChunkerSpec extends AnyFunSuite {
       Vector((0, 1), (1, 4), (4, 6)))
   }
 
+  test("token window: 1200 fixed-width tokens → 3 overlapping chunks (gate geometry)") {
+    val text = (0 until 1200).map(i => f"d0007$i%04d").mkString(" ")
+    val ch = chunker.chunkByTokens(text, "doc-7")
+    assert(ch.map(c => (c.chunk_index, c.start_char, c.end_char)) ==
+      Vector((0, 0, 5119), (1, 4620, 9739), (2, 9240, 11999)))
+    assert(ch(0).content == text.substring(0, 5119))
+    assert(ch.map(_.token_count) == Vector(512, 512, 276))
+    // 50-token overlap: each window starts inside the previous one
+    assert(ch(1).start_char < ch(0).end_char && ch(2).start_char < ch(1).end_char)
+  }
+
+  test("AT chunker: trigger splits and discards the AT-free prefix (gate fixture)") {
+    val text = "intro doc 7 no command here.\nAT+CMGF one 7\nfiller between 7\nAT+CSQ two 7"
+    val ch = chunker.chunkByAtCommands(text, "doc-7")
+    assert(ch.length == 2) // the AT-free intro chunk is DISCARDED
+    assert(ch(0).content == "AT+CMGF one 7\nfiller between 7")
+    assert(ch(0).at_commands == "AT+CMGF")
+    assert((ch(0).start_char, ch(0).end_char) == (1, 3))
+    assert(ch(1).content == "AT+CSQ two 7" && ch(1).at_commands == "AT+CSQ")
+    assert((ch(1).start_char, ch(1).end_char) == (3, 4))
+  }
+
   test("sections: over-budget chunk splits at last sentence boundary") {
     // 10-token budget; each line = 4 tokens ("w w w.") → split triggers
     val lines = Vector("aa bb cc.", "dd ee ff.", "gg hh ii.", "jj kk ll.")

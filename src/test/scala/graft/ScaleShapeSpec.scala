@@ -270,6 +270,30 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.nonEmpty) // the corpus actually produces near-dups
   }
 
+  test("ann_ivf_kmeans records trained centroids and oracleSql inlines them") {
+    Queries.lastKmeans = None
+    assert(!SparkEntry.oracleSql.contains("ann_ivf_kmeans")) // before training
+    SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+    val Some((cents, probes)) = Queries.lastKmeans
+    assert(cents.length == graft.rag.AnnIvf.NCells)
+    assert(probes.length == graft.rag.AnnIvf.NProbe)
+    val sql = SparkEntry.oracleSql("ann_ivf_kmeans")
+    assert(sql.contains("VALUES") && sql.contains("cidx IN"))
+    // every centroid component round-trips through its SQL literal
+    assert(cents.flatten.forall(d => d.toString.toDouble == d))
+  }
+
+  test("IVF centroid training is cached per corpus snapshot") {
+    graft.rag.AnnIvf.clearCentroidCache()
+    val e = SparkEntry.embeddings(spark, sf)
+    val c1 = graft.rag.AnnIvf.kmeansCentroids(e)
+    val c2 = graft.rag.AnnIvf.kmeansCentroids(SparkEntry.embeddings(spark, sf))
+    assert(c1 eq c2, "second call must hit the cache (same snapshot)")
+    val f1 = graft.rag.AnnIvf.centroids(e)
+    assert(f1 ne c1) // different trainer, different cache entry
+    assert(graft.rag.AnnIvf.centroids(e) eq f1)
+  }
+
   test("ngram df cap drops stop-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares exactly the boilerplate shingle "aa bb cc"
