@@ -213,10 +213,16 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default path (small graph → driver union-find)
     val got = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got == expected)
+    // distributed pointer-jumping path, forced
+    val gotDist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDist == expected)
   }
 
   test("connected components of an empty pair set is the empty frame") {
@@ -244,7 +250,10 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // min id per component
       val compMin = nodes.groupBy(id => find(id.toInt))
         .flatMap { case (_, ids) => ids.map(_ -> ids.min) }
-      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+      // force the DISTRIBUTED path — the default would take the driver
+      // union-find short-circuit, making this test circular
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"),
+        driverMaxEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(got == compMin, s"edges: $edges")
     }
