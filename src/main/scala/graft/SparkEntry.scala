@@ -63,9 +63,14 @@ object SparkEntry {
     "chunk_overflow_multi" -> ((s, dir) =>
       ChunkOps.sections(Queries.overflowDocs(docs(s, dir))).toDF()),
     // K2's stride/overlap path: 1200 fixed-width tokens → 3 overlapping
-    // windows per doc with closed-form char offsets
+    // windows per doc with closed-form char offsets. The fixture is
+    // bounded to the first 500 docs (the whole corpus at the oracle's
+    // sf0.01): the gate is per-doc identical, and each fixture doc is
+    // a 12 KB synthetic string — unbounded it becomes a fixture-
+    // construction benchmark, not a chunker gate.
     "chunk_tokens_multi" -> ((s, dir) =>
-      ChunkOps.byTokens(Queries.tokenDocs(docs(s, dir))).toDF()),
+      ChunkOps.byTokens(Queries.tokenDocs(
+        docs(s, dir).filter(col("doc_id") < 500))).toDF()),
     // K3's AT-trigger + discard-without-AT quirk: 2 chunks per doc,
     // the AT-free intro line dropped
     "chunk_at_multi" -> ((s, dir) =>
@@ -232,6 +237,29 @@ object SparkEntry {
           sum(round(col("value") * 1000000).cast("long")).cast("double")
             .as("total_micros"))),
 
+    // ---- event-stream ops: sessionization + as-of join ----
+    // (training-pipeline operators over behavioral logs; one exchange
+    // by user, per-partition sort + window — see events.EventOps)
+    "sessionize" -> ((s, dir) =>
+      graft.events.EventOps.sessionize(tbl(s, dir, "events"))
+        .select("event_id", "user_id", "session_idx")),
+    "session_stats" -> ((s, dir) =>
+      graft.events.EventOps.sessionStats(tbl(s, dir, "events"))),
+    "asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val ref = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      graft.events.EventOps.asofJoin(probe, ref, "user_id", "ts", "event_id",
+        refCols = Seq("event_id", "value"))
+        // nullable BIGINT renders as float64 through the driver's
+        // pandas bridge — emit DOUBLE on both sides (exact < 2^53)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").cast("double").as("asof_event_id"),
+          col("asof_value"))
+    }),
+
     // ---- relational/join coverage over the TPC-H-shaped tables ----
     // (the shuffle/broadcast story a 100 TB deployment lives on:
     // partial-agg sums over the fact table, broadcast hash joins on
@@ -363,9 +391,8 @@ object SparkEntry {
     // 9739), (9240,11999) and content is the matching substring
     "chunk_tokens_multi" ->
       (s"""WITH base AS (SELECT doc_id,
-         |    array_to_string(list_transform(range(0, 1200),
-         |      i -> 'd'||lpad(doc_id::VARCHAR,4,'0')||lpad(i::VARCHAR,4,'0')), ' ') AS text
-         |  FROM documents),
+         |    'd'||lpad(doc_id::VARCHAR,4,'0')||'head '||'${Queries.TokenTail}' AS text
+         |  FROM documents WHERE doc_id < 500),
          |c AS (
          |  SELECT doc_id, text, 0 AS chunk_index, 0 AS start_char, 5119 AS end_char FROM base
          |  UNION ALL SELECT doc_id, text, 1, 4620, 9739 FROM base
@@ -392,6 +419,44 @@ object SparkEntry {
          |  at_commands, 1 AS at_command_count,
          |  false AS has_code_blocks, false AS has_tables
          |FROM c""".stripMargin),
+    // event ops: timestamps compared in integer microseconds
+    // (epoch_us ↔ unix_micros) so both engines do exact integer math
+    "sessionize" ->
+      ("""SELECT event_id, user_id,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+         |FROM (SELECT event_id, user_id, ts,
+         |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM events)""".stripMargin),
+    "session_stats" ->
+      ("""WITH s AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+         |  FROM (SELECT event_id, user_id, ts, value,
+         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |        FROM events))
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+         |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) AS value_micros
+         |FROM s GROUP BY 1, 2""".stripMargin),
+    "asof_join" ->
+      ("""WITH u AS (
+         |  SELECT user_id, ts, event_id, 0 AS tag, event_id AS r_id, value AS r_val
+         |  FROM events WHERE event_type = 'error'
+         |  UNION ALL
+         |  SELECT user_id, ts, event_id, 1, NULL, NULL
+         |  FROM events WHERE event_type = 'click'),
+         |lv AS (SELECT user_id, event_id, tag,
+         |  last_value(r_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_id,
+         |  last_value(r_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_val
+         |  FROM u)
+         |SELECT event_id, user_id, CAST(a_id AS DOUBLE) AS asof_event_id, a_val AS asof_value
+         |FROM lv WHERE tag = 1""".stripMargin),
     // TPC-H-shaped relational coverage; money math in integer cents /
     // cent-percent units, final sums as DOUBLE for the pandas bridge
     "tpch_pricing" ->
@@ -794,8 +859,18 @@ object Queries {
     * semantics and the blocked subset rather than hiding the recall
     * trade inside a rewritten oracle.
     */
-  def embedNearDupExact(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def embedNearDupExact(s: SparkSession, dir: String, threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
     import graft.rag.{Similarity, VectorExprs}
+    // misuse guard: this is the O(n²) RECALL BASELINE, never the
+    // production path (embedNearDup, blocked, is). A hard row ceiling
+    // makes pointing it at a large corpus an error, not a week-long
+    // cartesian — 100k rows ≈ 5×10⁹ candidate pairs is already the
+    // outer limit of a sane baseline run.
+    val n = SparkEntry.embeddings(s, dir).count()
+    require(n <= maxRows,
+      s"embedNearDupExact is the O(n^2) recall baseline: corpus has $n rows" +
+        s" > ceiling $maxRows — use embedNearDup (LSH-blocked) instead")
     def leg(idAs: String, vAs: String) =
       SparkEntry.embeddings(s, dir).select(col("vec_id").as(idAs),
         VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as(vAs))
@@ -815,19 +890,27 @@ object Queries {
         lit(".\n# Alpha\nAlpha body "), col("doc_id"),
         lit("\n# Beta\nBeta body "), col("doc_id")).as("text"))
 
+  /** the constant tail of the K2 fixture: tokens 1..1199, each exactly
+    * 9 chars ("t" + 8-digit position), single-space joined — shared
+    * verbatim between the Spark literal and the DuckDB oracle SQL.
+    */
+  val TokenTail: String = (1 until 1200).map(i => f"t$i%08d").mkString(" ")
+
   /** synthetic fixed-geometry token docs for the K2 sliding-window
-    * gate: 1200 tokens of exactly 9 chars ('d' + 4-digit doc id +
-    * 4-digit position), single-space joined, so token i spans chars
-    * [10i, 10i+9). With maxTokens=512, overlap=50 (stride 462) the
-    * window MUST produce 3 overlapping chunks at char offsets the
-    * oracle computes in closed form — the stride/overlap arithmetic of
-    * reference chunking.py:116-144 becomes driver-visible.
+    * gate: 1200 tokens of exactly 9 chars (one doc-keyed head token +
+    * the constant position-numbered tail), single-space joined, so
+    * token i spans chars [10i, 10i+9). With maxTokens=512, overlap=50
+    * (stride 462) the window MUST produce 3 overlapping chunks at char
+    * offsets the oracle computes in closed form — the stride/overlap
+    * arithmetic of reference chunking.py:116-144 becomes
+    * driver-visible. (Built as ONE concat per doc: a per-position HOF
+    * construction ran interpreted lpad 1200× per row and dominated the
+    * whole query's bench time.)
     */
   def tokenDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      array_join(transform(sequence(lit(0), lit(1199)), i =>
-        concat(lit("d"), lpad(col("doc_id").cast("string"), 4, "0"),
-          lpad(i.cast("string"), 4, "0"))), " ").as("text"))
+      concat(lit("d"), lpad(col("doc_id").cast("string"), 4, "0"),
+        lit("head "), lit(TokenTail)).as("text"))
 
   /** synthetic multi-AT docs for the K3 gate: an AT-free intro line,
     * then alternating AT-command and filler lines. Exercises BOTH

@@ -190,7 +190,15 @@ object MultiProcBench {
   /** N vs 4N executor-process comparison + host ceiling, as a JSON
     * object string (shared by this main and graft.Bench).
     */
-  def fleetComparison(corpus: String, cpusPerWorker: Int): String = {
+  def fleetComparison(corpus: String, cpusPerWorker: Int): String =
+    fleetComparisonResult(corpus, cpusPerWorker)._2
+
+  /** like fleetComparison, also returning the 4-worker throughput —
+    * the defensible headline number (the single-JVM local[4N] figure
+    * collapses under one-heap GC contention in hostile windows and
+    * misreads as a pipeline regression).
+    */
+  def fleetComparisonResult(corpus: String, cpusPerWorker: Int): (Double, String) = {
     val lowWorkers = 1
     val highWorkers = 4
     val (wallLow, turnsLow, cpuLow) = runFleet(lowWorkers, cpusPerWorker, corpus)
@@ -204,7 +212,8 @@ object MultiProcBench {
     val spinHigh = runSpin(highWorkers, cpusPerWorker)
     val spinEff = (spinHigh / spinLow) / (highWorkers.toDouble / lowWorkers)
     def f(d: Double) = f"$d%.3f"
-    s"""{"turns":$turnsLow,"cpus_per_worker":$cpusPerWorker,"workers_low":$lowWorkers,"workers_high":$highWorkers,"wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},"cpu_sec_low":${f(cpuLow)},"cpu_sec_high":${f(cpuHigh)},"cpu_time_ratio":${f(cpuHigh / cpuLow)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"host_cpu_ceiling_efficiency":${f(spinEff)},"hardware_relative_efficiency":${f(eff / spinEff)}}"""
+    (tpsHigh,
+      s"""{"turns":$turnsLow,"cpus_per_worker":$cpusPerWorker,"workers_low":$lowWorkers,"workers_high":$highWorkers,"wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},"cpu_sec_low":${f(cpuLow)},"cpu_sec_high":${f(cpuHigh)},"cpu_time_ratio":${f(cpuHigh / cpuLow)},"turns_per_sec_low":${f(tpsLow)},"turns_per_sec_high":${f(tpsHigh)},"scaling_efficiency":${f(eff)},"host_cpu_ceiling_efficiency":${f(spinEff)},"hardware_relative_efficiency":${f(eff / spinEff)}}""")
   }
 
   def main(args: Array[String]): Unit = {

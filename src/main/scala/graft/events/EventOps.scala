@@ -1,0 +1,105 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators a training-data pipeline runs over behavioral
+  * logs: gap-based sessionization and the as-of (most-recent-at-or-
+  * before) join. Neither exists in the reference (its data model is
+  * documents, not events) — they extend the engine the same way the
+  * dedup family does, as first-class scale-shaped operators.
+  *
+  * Scale shape (both): ONE exchange, hash-partitioned by the entity
+  * key, then per-partition sort + window — the canonical distributed
+  * form. The alternative as-of formulations (range θ-join, per-probe
+  * correlated subquery) explode to |probe|×|ref| comparisons per key;
+  * the union + last-carried-forward window is linear in the merged
+  * stream and never builds a candidate pair set. Timestamps are
+  * compared in integer microseconds (unix_micros / epoch_us), so
+  * engines agree exactly and the session predicate is associative-free
+  * integer math.
+  */
+object EventOps {
+
+  /** integer microseconds of a timestamp column; parquet TIMESTAMP_NTZ
+    * is cast through TIMESTAMP first (unix_micros rejects NTZ). The
+    * cast interprets NTZ wall-clock in the session time zone — a
+    * constant shift that CANCELS in every use here (session gaps and
+    * durations are differences of two micros values).
+    */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Gap-based sessionization: within each `keyCol`, events ordered by
+    * (ts, idCol) start a new session when the gap from the previous
+    * event exceeds `gapSeconds`. Output adds `session_idx` — the
+    * 0-based session ordinal per key (first session = 0).
+    *
+    * One shuffle by key; the running sum reuses the same sort. Skewed
+    * keys (a bot user with millions of events) are bounded by the
+    * window being per-key sequential — at 100 TB, cap per-key history
+    * upstream or split sessions at day boundaries first.
+    */
+  def sessionize(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsu = micros(col(tsCol))
+    val prev = lag(tsu, 1).over(w)
+    val isNew = when(prev.isNotNull && (tsu - prev) > gapSeconds * 1000000L, 1)
+      .otherwise(0)
+    events.withColumn("session_idx", sum(isNew).over(cum).cast("int"))
+  }
+
+  /** Per-session rollup: (key, session_idx) → event count, duration in
+    * integer microseconds, value sum in integer micro-units (exact,
+    * associative — see window_agg). The second exchange is by (key,
+    * session_idx), carrying only the partial aggregates.
+    */
+  def sessionStats(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value", gapSeconds: Long = 1800L): DataFrame =
+    sessionize(events, keyCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(micros(col(tsCol))) - min(micros(col(tsCol))))
+          .as("duration_us"),
+        sum(round(col(valueCol) * 1000000).cast("long")).cast("double")
+          .as("value_micros"))
+
+  /** As-of join: for every probe row, the LATEST ref row with ref.ts ≤
+    * probe.ts on the same key (inclusive; among equal-ts ref rows the
+    * greatest ref id wins — the ordering makes the pick deterministic).
+    * Probe rows with no prior ref row keep NULL.
+    *
+    * Formulation: tag ref=0 / probe=1, union-align the schemas, one
+    * window over (key ORDER BY ts, tag, id) carrying the last non-null
+    * ref payload forward, keep the probe rows. `refCols` name the ref
+    * payload columns to carry; they surface as `asof_<name>`.
+    */
+  def asofJoin(probe: DataFrame, ref: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, refCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val carried = refCols.map(c => s"asof_$c")
+    // union-aligned schema: key/ts/id + tag + probe payload + ref payload
+    val refLeg = ref.select(
+      Seq(col(keyCol), col(tsCol), col(idCol), lit(0).as("_tag")) ++
+        probeCols.filterNot(Seq(keyCol, tsCol, idCol).contains)
+          .map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        refCols.zip(carried).map { case (c, a) => col(c).as(a) }: _*)
+    val probeLeg = probe.select(
+      Seq(col(keyCol), col(tsCol), col(idCol), lit(1).as("_tag")) ++
+        probeCols.filterNot(Seq(keyCol, tsCol, idCol).contains).map(col) ++
+        refCols.zip(carried).map { case (c, a) =>
+          lit(null).cast(ref.schema(c).dataType).as(a) }: _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_tag"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lv = carried.foldLeft(refLeg.unionByName(probeLeg)) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    lv.filter(col("_tag") === 1).drop("_tag")
+  }
+}

@@ -87,6 +87,13 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, s"recall $recall collapsed — blocking misconfigured")
   }
 
+  test("embed_neardup_exact refuses corpora above its row ceiling") {
+    val e = intercept[IllegalArgumentException] {
+      Queries.embedNearDupExact(spark, sf, 0.4, maxRows = 1L)
+    }
+    assert(e.getMessage.contains("recall baseline"))
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     import spark.implicits._
     val warehouse = java.nio.file.Files.createTempDirectory("bkt").toString
