@@ -442,20 +442,22 @@ object SparkEntry {
          |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
          |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) AS value_micros
          |FROM s GROUP BY 1, 2""".stripMargin),
+    // the carried payload is ONE struct (whole-row atomicity — a null
+    // field must not fall back to an older ref row), mirroring
+    // EventOps.asofJoin exactly
     "asof_join" ->
       ("""WITH u AS (
-         |  SELECT user_id, ts, event_id, 0 AS tag, event_id AS r_id, value AS r_val
+         |  SELECT user_id, ts, event_id, 0 AS tag,
+         |    struct_pack(rid := event_id, rval := value) AS pay
          |  FROM events WHERE event_type = 'error'
          |  UNION ALL
-         |  SELECT user_id, ts, event_id, 1, NULL, NULL
+         |  SELECT user_id, ts, event_id, 1, CAST(NULL AS STRUCT(rid BIGINT, rval DOUBLE))
          |  FROM events WHERE event_type = 'click'),
          |lv AS (SELECT user_id, event_id, tag,
-         |  last_value(r_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_id,
-         |  last_value(r_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_val
+         |  last_value(pay IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
          |  FROM u)
-         |SELECT event_id, user_id, CAST(a_id AS DOUBLE) AS asof_event_id, a_val AS asof_value
+         |SELECT event_id, user_id, CAST(a.rid AS DOUBLE) AS asof_event_id, a.rval AS asof_value
          |FROM lv WHERE tag = 1""".stripMargin),
     // TPC-H-shaped relational coverage; money math in integer cents /
     // cent-percent units, final sums as DOUBLE for the pandas bridge
@@ -866,11 +868,15 @@ object Queries {
     // production path (embedNearDup, blocked, is). A hard row ceiling
     // makes pointing it at a large corpus an error, not a week-long
     // cartesian — 100k rows ≈ 5×10⁹ candidate pairs is already the
-    // outer limit of a sane baseline run.
-    val n = SparkEntry.embeddings(s, dir).count()
+    // outer limit of a sane baseline run. The probe itself is bounded:
+    // counting a LIMIT maxRows+1 stops the scan after the first
+    // ceiling-breaking row instead of counting the whole corpus just
+    // to refuse it.
+    val n = SparkEntry.embeddings(s, dir).limit(
+      (maxRows + 1).min(Int.MaxValue).toInt).count()
     require(n <= maxRows,
-      s"embedNearDupExact is the O(n^2) recall baseline: corpus has $n rows" +
-        s" > ceiling $maxRows — use embedNearDup (LSH-blocked) instead")
+      s"embedNearDupExact is the O(n^2) recall baseline: corpus has" +
+        s" more than $maxRows rows — use embedNearDup (LSH-blocked) instead")
     def leg(idAs: String, vAs: String) =
       SparkEntry.embeddings(s, dir).select(col("vec_id").as(idAs),
         VectorExprs.l2Normalize(col("embedding").cast("array<double>")).as(vAs))

@@ -22,13 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** integer microseconds of a timestamp column; parquet TIMESTAMP_NTZ
-    * is cast through TIMESTAMP first (unix_micros rejects NTZ). The
-    * cast interprets NTZ wall-clock in the session time zone — a
-    * constant shift that CANCELS in every use here (session gaps and
-    * durations are differences of two micros values).
+  /** Integer microseconds of a timestamp column; parquet TIMESTAMP_NTZ
+    * is cast through TIMESTAMP first (unix_micros rejects NTZ). That
+    * cast interprets NTZ wall-clock in the SESSION time zone — for any
+    * zone with DST the shift is NOT constant, so a gap spanning a
+    * transition would miscount by the DST delta (silently merging or
+    * splitting sessions). NTZ input therefore REQUIRES a UTC session —
+    * the same fixed-offset interpretation DuckDB's epoch_us applies —
+    * rather than guessing; TIMESTAMP (LTZ) input is epoch-based and
+    * works under any session zone.
     */
-  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+  private def micros(events: DataFrame, tsCol: String): Column = {
+    val isNtz = events.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val tz = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    require(!isNtz || tz == "UTC",
+      s"EventOps: column '$tsCol' is TIMESTAMP_NTZ and the session time" +
+        s" zone is '$tz' — wall-clock gaps across a DST transition would" +
+        " miscount. Set spark.sql.session.timeZone=UTC or supply a" +
+        " TIMESTAMP (with time zone) column.")
+    unix_micros(col(tsCol).cast("timestamp"))
+  }
 
   /** Gap-based sessionization: within each `keyCol`, events ordered by
     * (ts, idCol) start a new session when the gap from the previous
@@ -45,7 +59,7 @@ object EventOps {
       gapSeconds: Long = 1800L): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tsu = micros(col(tsCol))
+    val tsu = micros(events, tsCol)
     val prev = lag(tsu, 1).over(w)
     val isNew = when(prev.isNotNull && (tsu - prev) > gapSeconds * 1000000L, 1)
       .otherwise(0)
@@ -64,7 +78,7 @@ object EventOps {
       .groupBy(col(keyCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
-        (max(micros(col(tsCol))) - min(micros(col(tsCol))))
+        (max(micros(events, tsCol)) - min(micros(events, tsCol)))
           .as("duration_us"),
         sum(round(col(valueCol) * 1000000).cast("long")).cast("double")
           .as("value_micros"))
@@ -78,28 +92,38 @@ object EventOps {
     * window over (key ORDER BY ts, tag, id) carrying the last non-null
     * ref payload forward, keep the probe rows. `refCols` name the ref
     * payload columns to carry; they surface as `asof_<name>`.
+    *
+    * The payload travels as ONE struct — a ref row's struct is non-null
+    * even when every field in it is null, so the window carries whole
+    * ROWS. Per-column last(ignoreNulls) would skip a null field back to
+    * an OLDER ref row and stitch together fields no single ref row ever
+    * held.
     */
   def asofJoin(probe: DataFrame, ref: DataFrame, keyCol: String,
       tsCol: String, idCol: String, refCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
     val carried = refCols.map(c => s"asof_$c")
-    // union-aligned schema: key/ts/id + tag + probe payload + ref payload
+    val payload = struct(refCols.map(c => col(c).as(s"asof_$c")): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      refCols.map(c => org.apache.spark.sql.types.StructField(
+        s"asof_$c", ref.schema(c).dataType)))
+    // union-aligned schema: key/ts/id + tag + probe payload + ref struct
     val refLeg = ref.select(
       Seq(col(keyCol), col(tsCol), col(idCol), lit(0).as("_tag")) ++
         probeCols.filterNot(Seq(keyCol, tsCol, idCol).contains)
           .map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        refCols.zip(carried).map { case (c, a) => col(c).as(a) }: _*)
+        Seq(payload.as("_asof")): _*)
     val probeLeg = probe.select(
       Seq(col(keyCol), col(tsCol), col(idCol), lit(1).as("_tag")) ++
         probeCols.filterNot(Seq(keyCol, tsCol, idCol).contains).map(col) ++
-        refCols.zip(carried).map { case (c, a) =>
-          lit(null).cast(ref.schema(c).dataType).as(a) }: _*)
+        Seq(lit(null).cast(payloadType).as("_asof")): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_tag"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lv = carried.foldLeft(refLeg.unionByName(probeLeg)) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    lv.filter(col("_tag") === 1).drop("_tag")
+    refLeg.unionByName(probeLeg)
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("*") +: carried.map(c => col(s"_asof.$c").as(c)): _*)
+      .drop("_tag", "_asof")
   }
 }

@@ -23,8 +23,14 @@ object AnnIvf {
   /** Centroid tables are per-corpus-snapshot artifacts: a resident
     * engine must not re-run the training/collect job on every
     * `search()` call. Cache key = the analyzed plan's semanticHash
-    * (same source + same projection ⇒ same snapshot in this engine's
-    * immutable-corpus model) + the training parameters. Bounded: a
+    * (same source + same projection) PLUS the scan's resolved file
+    * list — appending to a parquet directory adds part files, so a
+    * re-read of the same path after an append/overwrite misses the
+    * cache and retrains instead of silently serving pre-append
+    * centroids (the file list is already resolved in the relation; no
+    * extra listing job). Residual alias: an in-place byte rewrite of
+    * an identically-named file — which no parquet writer in this
+    * engine produces — still needs `invalidateCentroids()`. Bounded: a
     * table this size (≤ 64 entries × nCells × dim doubles) can never
     * grow into a driver-memory risk; on overflow the whole cache is
     * dropped and re-trained lazily.
@@ -35,12 +41,17 @@ object AnnIvf {
   private def cachedCentroids(emb: DataFrame, params: String)(
       train: => Seq[Array[Double]]): Seq[Array[Double]] = {
     if (centroidCache.size > 64) centroidCache.clear()
-    val key = s"${emb.queryExecution.analyzed.semanticHash()}|$params"
+    val snapshot = java.util.Arrays.hashCode(
+      emb.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    val key = s"${emb.queryExecution.analyzed.semanticHash()}|$snapshot|$params"
     centroidCache.computeIfAbsent(key, _ => train)
   }
 
-  /** test hook: drop all cached centroid tables */
-  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+  /** drop all cached centroid tables (corpus mutated in place) */
+  def invalidateCentroids(): Unit = centroidCache.clear()
+
+  /** test hook alias */
+  private[graft] def clearCentroidCache(): Unit = invalidateCentroids()
 
   /** deterministic coarse centroids: embeddings of the nCells smallest
     * keys, as doubles. Cached per corpus snapshot (see centroidCache).

@@ -475,13 +475,12 @@ object Dedup {
     * on the legs was evaluated and rejected: attaching post-cap set
     * sizes to the index rows costs a full extra exchange by id, which
     * at this join's layout outweighs the candidate rows it would
-    * prune — the legs below reuse the df window's by-`sh` partitioning
-    * with NO further exchange.)
+    * prune — the legs below reuse the capped index's single by-`sh`
+    * repartition with NO further exchange.)
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = 100,
       materialize: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the index key is the 60-bit shingle HASH, not the string: every
     // downstream shuffle (df count, inverted-index self-join, pair agg)
     // moves 8-byte longs instead of ~25-byte strings, and join equality
@@ -490,17 +489,24 @@ object Dedup {
     val all = spread(docs)
       .select(col(idCol).as("id"),
         explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
-    // df-cap as a count window over sh: ONE exchange both caps the
-    // index and leaves it hash-partitioned (and sorted) BY THE JOIN
-    // KEY, so the self-join below adds no further Exchange on either
-    // leg — the persisted layout is the join layout. (The round-2
-    // agg + anti-join shape moved the full index by sh twice, once per
-    // join leg, plus a second persist+count materialization pass.)
-    val sh = all
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf)
-      .select("id", "sh")
-    if (materialize) { sh.persist(); sh.count() } // kernel + index once
+    // df-cap via agg + anti-join: the df aggregate combines map-side
+    // (shuffles (sh, partial-count), never full rows) and the hot list
+    // is small (≤ |index|/maxDf), so AQE broadcasts it and hot rows are
+    // dropped AT THE MAP — the hottest shingle's occurrences never
+    // travel. (A count-window df-cap was tried and reverted: a window
+    // must shuffle EVERY occurrence of a hot shingle into one task
+    // before the filter discards them — re-concentrating exactly the
+    // key the cap exists to bound.) The capped index is then
+    // repartitioned by the join key ONCE, so both self-join legs below
+    // reuse this single exchange; net full-index shuffles: one, hot
+    // rows excluded. The shingle kernel runs twice (df agg + index
+    // build) — both map-side and embarrassingly parallel, the standard
+    // trade against persisting the UNCAPPED index.
+    val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val sh = all.join(hot, Seq("sh"), "left_anti")
+      .repartition(col("sh"))
+    if (materialize) { sh.persist(); sh.count() } // capped index once
     // set sizes AFTER the cap: dropped shingles leave the universe
     // entirely (index AND set sizes), the standard df-capped trade
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))

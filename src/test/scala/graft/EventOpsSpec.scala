@@ -74,6 +74,33 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (13L, 103L, 4.0)))
   }
 
+  test("asofJoin carries whole ref rows: a null field never falls back to an older row") {
+    import spark.implicits._
+    val probe = Seq((10L, 1L, ts(90))).toDF("event_id", "user_id", "ts")
+    val ref = Seq((100L, 1L, ts(20), Option(1.0)),
+      (101L, 1L, ts(60), Option.empty[Double]))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = EventOps.asofJoin(probe, ref, "user_id", "ts", "event_id",
+      refCols = Seq("event_id", "value")).head()
+    assert(r.getAs[Long]("asof_event_id") == 101L)
+    // the latest ref row's value IS null — stitching 1.0 from the older
+    // row would fabricate a (101, 1.0) pair no ref row ever held
+    assert(r.isNullAt(r.fieldIndex("asof_value")))
+  }
+
+  test("sessionize rejects NTZ input under a non-UTC session time zone") {
+    import spark.implicits._
+    val ev = Seq((0L, 1L, "2026-03-08T01:50:00")).toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"),
+        col("s").cast("timestamp_ntz").as("ts"))
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] { EventOps.sessionize(ev) }
+      assert(e.getMessage.contains("DST"))
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
   test("sessionize plans exactly one exchange, hash-partitioned by the key") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val p = EventOps.sessionize(ev).queryExecution.executedPlan.toString
