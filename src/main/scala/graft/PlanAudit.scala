@@ -21,7 +21,7 @@ object PlanAudit {
       "resume_pending", "dedup_minhash", "list_documents", "chunk_sections",
       "embed_neardup", "delete_document", "search_topk_filtered",
       "tpch_pricing", "tpch_top_orders", "tpch_region_stats", "ivf_assign",
-      "ngram_jaccard", "simhash_pairs")
+      "ngram_jaccard", "simhash_pairs", "sessionize", "asof_join")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -38,6 +38,34 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(transcriptsDir))
   }
 
+  /** Event-time session windows over a parquet directory stream — the
+    * streaming twin of `events.EventOps.sessionize/sessionStats`, via
+    * the BUILT-IN `session_window` (compose existing ops before
+    * hand-rolling state: Spark merges overlapping per-event windows in
+    * the state store, watermark-bounded, exactly the custom
+    * flatMapGroupsWithState one would otherwise write). Output: one
+    * row per closed (user, session) with event count and the exact
+    * integer-micro value sum.
+    *
+    * Boundary note: `session_window` starts a new session when the gap
+    * is ≥ the threshold, EventOps.sessionize when it is strictly >.
+    * They differ only for a gap EXACTLY equal to the threshold —
+    * microsecond event-time makes that measure-zero in practice, and
+    * the batch-equality spec runs on the real fixture.
+    */
+  def sessionStream(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000000).cast("long")).as("value_micros"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("value_micros"))
+  }
+
   /** streaming exact dedup — first-seen row per content digest wins,
     * later duplicates are dropped across micro-batches. Custom keyed
     * state via `flatMapGroupsWithState` (the state store holds ONE

@@ -88,6 +88,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && streamed.size == 7)
   }
 
+  test("streaming session windows equal batch sessionization per user") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.sessionStream(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n, sum(value_micros) AS v FROM sess GROUP BY 1")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, n, v) => u -> (s, n, v) }.toMap
+    val batch = graft.events.EventOps.sessionStats(spark.read.parquet(dir))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n"),
+        sum("value_micros").cast("long").as("v"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, n, v) => u -> (s, n, v) }.toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("salted aggregation equals direct groupBy") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/events.parquet")
