@@ -201,6 +201,21 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir), "doc_id", "text")),
+    // deterministic hash-threshold sampling (never rand() at scale)
+    "sample_hash" -> ((s, dir) =>
+      TextOps.sampleHash(docs(s, dir), "doc_id", rate = 0.25).select("doc_id")),
+    // group-wise top-k: 3 best docs per language (the metadata column —
+    // 5 real groups in the corpus; lang_pred would collapse to one) by
+    // quality score
+    "top_per_group" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qual = TextOps.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      TextOps.topPerGroup(
+        d.select(col("doc_id"), col("lang")).join(qual, "doc_id"),
+        "lang", "quality", "doc_id", k = 3)
+        .select("lang", "rank", "doc_id", "quality")
+    }),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
@@ -675,6 +690,33 @@ object OracleSql {
   private def stopHits(name: String, list: Seq[String]) =
     s"len(list_filter(ws, x -> list_contains(${list.mkString("['", "','", "']")}, x))) AS ${name}_hits"
 
+  /** lang_id / quality_score bodies, shared with top_per_group's CTEs */
+  private val langIdSql =
+    s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |  ${graft.text.TextOps.Stopwords.map { case (l, ws) => stopHits(l, ws) }.mkString(", ")}
+       |  FROM (SELECT doc_id, list_transform($sqlWords, x -> lower(x)) AS ws FROM documents))""".stripMargin
+
+  private val qualitySql =
+    s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+       |  (least(1.0::DOUBLE, n_tokens/50.0::DOUBLE) +
+       |   (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio*10.0::DOUBLE)) +
+       |   least(1.0::DOUBLE, stopword_ratio*5.0::DOUBLE) +
+       |   least(1.0::DOUBLE, mean_word_len/8.0::DOUBLE)) / 4.0::DOUBLE AS quality
+       |FROM (SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+       |  len(list_filter(list_transform($sqlWords, x -> lower(x)),
+       |    x -> list_contains(${graft.text.TextOps.Stopwords.head._2.mkString("['", "','", "']")}, x)))
+       |    / greatest(len($sqlWords), 1)::DOUBLE AS stopword_ratio,
+       |  list_reduce(list_prepend(0, list_transform($sqlWords, x -> length(x))), (a,b) -> a+b)
+       |    / greatest(len($sqlWords), 1)::DOUBLE AS mean_word_len
+       |  FROM documents)""".stripMargin
+
   val textOps: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, " +
@@ -720,30 +762,20 @@ object OracleSql {
          |SELECT a_id, b_id, common / (sa.n + sb.n - common)::DOUBLE AS jaccard
          |FROM common JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          |WHERE common / (sa.n + sb.n - common)::DOUBLE >= 0.5""".stripMargin),
-    "lang_id" ->
-      (s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
-         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
-         |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_pred
-         |FROM (SELECT doc_id,
-         |  ${graft.text.TextOps.Stopwords.map { case (l, ws) => stopHits(l, ws) }.mkString(", ")}
-         |  FROM (SELECT doc_id, list_transform($sqlWords, x -> lower(x)) AS ws FROM documents))""".stripMargin),
-    "quality_score" ->
-      (s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
-         |  (least(1.0::DOUBLE, n_tokens/50.0::DOUBLE) +
-         |   (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio*10.0::DOUBLE)) +
-         |   least(1.0::DOUBLE, stopword_ratio*5.0::DOUBLE) +
-         |   least(1.0::DOUBLE, mean_word_len/8.0::DOUBLE)) / 4.0::DOUBLE AS quality
-         |FROM (SELECT doc_id,
-         |  length(text) AS n_chars,
-         |  len(regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}')) AS n_tokens,
-         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1)::DOUBLE AS punct_ratio,
-         |  len(list_filter(list_transform($sqlWords, x -> lower(x)),
-         |    x -> list_contains(${graft.text.TextOps.Stopwords.head._2.mkString("['", "','", "']")}, x)))
-         |    / greatest(len($sqlWords), 1)::DOUBLE AS stopword_ratio,
-         |  list_reduce(list_prepend(0, list_transform($sqlWords, x -> length(x))), (a,b) -> a+b)
-         |    / greatest(len($sqlWords), 1)::DOUBLE AS mean_word_len
-         |  FROM documents)""".stripMargin),
+    "lang_id" -> langIdSql,
+    "quality_score" -> qualitySql,
+    // same 60-bit sha-threshold as TextOps.sampleHash, rate 0.25
+    "sample_hash" ->
+      (s"SELECT doc_id FROM documents WHERE " +
+        s"CAST('0x'||substr(sha256('sample|'||doc_id),1,15) AS BIGINT) < " +
+        s"${(0.25 * (1L << 60).toDouble).toLong}"),
+    "top_per_group" ->
+      (s"""WITH qual AS ($qualitySql)
+         |SELECT lang, rank, doc_id, quality FROM (
+         |  SELECT d.lang, q.doc_id, q.quality,
+         |    CAST(row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS INT) AS rank
+         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+         |WHERE rank <= 3""".stripMargin),
     "fingerprint" ->
       (s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($sqlWords, " +
         s"w -> ${sqlHash("w")} % 1000003)), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint " +

@@ -68,6 +68,42 @@ object TextOps {
         least(lit(1.0), meanWordLen / lit(8.0))) / lit(4.0)).as("quality"))
   }
 
+  /** Deterministic hash-threshold sampling — the reproducible way to
+    * downsample a 100 TB corpus: keep a row iff a 60-bit sha-derived
+    * hash of (salt | id) falls under rate·2^60. Unlike `rand()` (or
+    * `df.sample`, seeded per-partition), the decision is a pure
+    * function of the row's ID — stable across retries, partitionings,
+    * and re-runs, composable (a 10% sample of a 20% sample with
+    * different salts is an independent 2%), and exactly reproducible
+    * by any engine that can sha256 (the DuckDB oracle does). Map-side
+    * only, no shuffle.
+    */
+  def sampleHash(docs: DataFrame, idCol: String, rate: Double,
+      salt: String = "sample"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val threshold = (rate * (1L << 60).toDouble).toLong
+    val h = conv(substring(
+      sha2(concat(lit(salt), lit("|"), col(idCol).cast("string")), 256),
+      1, 15), 16, 10).cast("long")
+    docs.filter(h < threshold)
+  }
+
+  /** Group-wise top-k: the k best rows per group by (scoreCol desc,
+    * idCol asc). A rank window over one exchange by group key — NOT a
+    * global TakeOrdered (k is per group); at 100 TB the exchange
+    * carries only (group, score, id, kept columns) and each group's
+    * sort is partition-local. Skew note: a single huge group sorts in
+    * one task — for pathological group sizes, pre-filter with an
+    * approximate per-group threshold first.
+    */
+  def topPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** rolling polynomial fingerprint over token hashes:
     * acc = (acc*31 + h mod 1000003) mod 1000000007 — order-sensitive,
     * so reordered documents fingerprint differently (unlike bag

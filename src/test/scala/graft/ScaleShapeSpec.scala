@@ -310,6 +310,32 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.rag.AnnIvf.centroids(e) eq f1)
   }
 
+  test("sampleHash: deterministic, partition-independent, rate-bounded") {
+    import graft.text.TextOps
+    val d = SparkEntry.docs(spark, sf)
+    val once = TextOps.sampleHash(d, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = TextOps.sampleHash(d.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "sampling must not depend on partitioning")
+    assert(TextOps.sampleHash(d, "doc_id", 0.0).count() == 0)
+    assert(TextOps.sampleHash(d, "doc_id", 1.0).count() == d.count())
+    // nested sampling with distinct salts composes independently
+    val nested = TextOps.sampleHash(
+      TextOps.sampleHash(d, "doc_id", 0.5, "a"), "doc_id", 0.5, "b").count()
+    assert(nested < once.size && nested > 0)
+  }
+
+  test("topPerGroup: k best per group, score desc, id tiebreak") {
+    import spark.implicits._
+    val df = Seq(("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0),
+      ("g1", 4L, 1.0), ("g2", 5L, 2.0))
+      .toDF("g", "id", "score")
+    val got = graft.text.TextOps.topPerGroup(df, "g", "score", "id", 2)
+      .select("g", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("g1", 1, 2L), ("g1", 2, 3L), ("g2", 1, 5L)))
+  }
+
   test("ngram df cap drops stop-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares exactly the boilerplate shingle "aa bb cc"
