@@ -310,6 +310,27 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.rag.AnnIvf.centroids(e) eq f1)
   }
 
+  test("IVF probe prunes partitions when cell is the write-time partition column") {
+    import graft.rag.AnnIvf
+    val e = SparkEntry.embeddings(spark, sf)
+    val cents = AnnIvf.centroids(e)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString + "/emb"
+    e.withColumn("cell", AnnIvf.cellCol(col("embedding"), cents))
+      .write.partitionBy("cell").parquet(dir)
+    val probes = Seq(0, 1)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+    val p = plan(pruned)
+    // the probe predicate must land in PartitionFilters (directory
+    // pruning at planning time), NOT as a post-scan data filter
+    assert(p.contains("PartitionFilters"), p)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    val full = spark.read.parquet(dir)
+    val expected = full.filter(col("cell").isin(probes.map(Integer.valueOf): _*)).count()
+    assert(pruned.count() == expected && expected > 0)
+    assert(expected < full.count(), "probe must scan a strict subset")
+  }
+
   test("sampleHash: deterministic, partition-independent, rate-bounded") {
     import graft.text.TextOps
     val d = SparkEntry.docs(spark, sf)
