@@ -903,9 +903,12 @@ object Queries {
     // outer limit of a sane baseline run. The probe itself is bounded:
     // counting a LIMIT maxRows+1 stops the scan after the first
     // ceiling-breaking row instead of counting the whole corpus just
-    // to refuse it.
-    val n = SparkEntry.embeddings(s, dir).limit(
-      (maxRows + 1).min(Int.MaxValue).toInt).count()
+    // to refuse it. The ceiling must fit an Int so the LIMIT probe can
+    // actually detect an overrun — a ceiling ≥ 2^31 rows is not a
+    // baseline, it's the cartesian this guard exists to refuse.
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in [1, ${Int.MaxValue - 1}], got $maxRows")
+    val n = SparkEntry.embeddings(s, dir).limit(maxRows.toInt + 1).count()
     require(n <= maxRows,
       s"embedNearDupExact is the O(n^2) recall baseline: corpus has" +
         s" more than $maxRows rows — use embedNearDup (LSH-blocked) instead")

@@ -33,15 +33,28 @@ object EventOps {
     * works under any session zone.
     */
   private def micros(events: DataFrame, tsCol: String): Column = {
-    val isNtz = events.schema(tsCol).dataType ==
-      org.apache.spark.sql.types.TimestampNTZType
-    val tz = events.sparkSession.sessionState.conf.sessionLocalTimeZone
-    require(!isNtz || tz == "UTC",
-      s"EventOps: column '$tsCol' is TIMESTAMP_NTZ and the session time" +
-        s" zone is '$tz' — wall-clock gaps across a DST transition would" +
-        " miscount. Set spark.sql.session.timeZone=UTC or supply a" +
-        " TIMESTAMP (with time zone) column.")
+    requireSafeTz(events.schema(tsCol).dataType, events.sparkSession, tsCol)
     unix_micros(col(tsCol).cast("timestamp"))
+  }
+
+  /** NTZ wall-clock is only gap-safe under a zone with NO offset
+    * transitions (UTC, GMT, any fixed ±hh:mm) — checked via the zone's
+    * rules, not a string compare, so Etc/UTC and +02:00 pass. Zones
+    * with any transition (even purely historical ones) throw: an old
+    * timestamp pair spanning one would still miscount.
+    */
+  private[graft] def requireSafeTz(dt: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession, tsCol: String): Unit = {
+    if (dt == org.apache.spark.sql.types.TimestampNTZType) {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val fixed = java.time.ZoneId.of(tz).getRules.isFixedOffset
+      require(fixed,
+        s"column '$tsCol' is TIMESTAMP_NTZ and the session time zone" +
+          s" '$tz' has offset (DST/historical) transitions — wall-clock" +
+          " gaps across one would miscount. Set" +
+          " spark.sql.session.timeZone=UTC (or any fixed-offset zone)" +
+          " or supply a TIMESTAMP (with time zone) column.")
+    }
   }
 
   /** Gap-based sessionization: within each `keyCol`, events ordered by
@@ -102,6 +115,11 @@ object EventOps {
   def asofJoin(probe: DataFrame, ref: DataFrame, keyCol: String,
       tsCol: String, idCol: String, refCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    val reserved = Set("_tag", "_asof")
+    require(!(probeCols ++ ref.columns).exists(reserved),
+      s"asofJoin reserves column names ${reserved.mkString(", ")} for its" +
+        " internal union tag and carried payload — rename the conflicting" +
+        " input column")
     val carried = refCols.map(c => s"asof_$c")
     val payload = struct(refCols.map(c => col(c).as(s"asof_$c")): _*)
     val payloadType = org.apache.spark.sql.types.StructType(

@@ -41,8 +41,12 @@ object AnnIvf {
   private def cachedCentroids(emb: DataFrame, params: String)(
       train: => Seq[Array[Double]]): Seq[Array[Double]] = {
     if (centroidCache.size > 64) centroidCache.clear()
-    val snapshot = java.util.Arrays.hashCode(
-      emb.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    // 256-bit digest of the resolved file list — a 32-bit hash could
+    // collide across successive overwrites of the same path and serve
+    // stale centroids, the very failure this key exists to rule out
+    val snapshot = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(emb.inputFiles.sorted.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
     val key = s"${emb.queryExecution.analyzed.semanticHash()}|$snapshot|$params"
     centroidCache.computeIfAbsent(key, _ => train)
   }

@@ -54,14 +54,28 @@ object StreamingOps {
     * the batch-equality spec runs on the real fixture.
     */
   def sessionStream(spark: SparkSession, dir: String,
-      gap: String = "30 minutes"): DataFrame = {
+      gapSeconds: Long = 1800L): DataFrame = {
     val schema = spark.read.parquet(dir).schema
+    // same NTZ/time-zone safety gate as the batch twin — the streaming
+    // path must throw where batch throws, not silently miscount
+    graft.events.EventOps.requireSafeTz(schema("ts").dataType, spark, "ts")
+    // the watermark (late-data tolerance) must be at least the gap:
+    // with a shorter watermark a session could finalize while an
+    // in-gap event is still admissible, splitting what batch
+    // sessionization keeps whole. Batch equality holds for event-time
+    // disorder up to this delay.
+    val delay = math.max(gapSeconds, 3600L)
     spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .withWatermark("ts", s"$delay seconds")
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds").as("w"),
+        col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 1000000).cast("long")).as("value_micros"))
+        // DOUBLE like the batch twin (sessionStats) — one schema for
+        // both paths, and the driver's pandas bridge renders nullable
+        // BIGINT as float64 anyway
+        sum(round(col("value") * 1000000).cast("long")).cast("double")
+          .as("value_micros"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("value_micros"))
   }

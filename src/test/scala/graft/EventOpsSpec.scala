@@ -101,6 +101,27 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", old)
   }
 
+  test("NTZ guard accepts fixed-offset zones and rejects reserved asof names") {
+    import spark.implicits._
+    val ev = Seq((0L, 1L, "2026-03-08T01:50:00"), (1L, 1L, "2026-03-08T01:55:00"))
+      .toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"),
+        col("s").cast("timestamp_ntz").as("ts"))
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // +02:00 has no transitions — NTZ gaps are safe, must NOT throw
+      spark.conf.set("spark.sql.session.timeZone", "+02:00")
+      assert(EventOps.sessionize(ev).count() == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+    // internal column names are reserved
+    val probe = Seq((1L, 1L, ts(1), "x")).toDF("event_id", "user_id", "ts", "_asof")
+    val ref = Seq((2L, 1L, ts(0), 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.asofJoin(probe, ref, "user_id", "ts", "event_id", Seq("value"))
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("sessionize plans exactly one exchange, hash-partitioned by the key") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val p = EventOps.sessionize(ev).queryExecution.executedPlan.toString

@@ -98,8 +98,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .format("memory").queryName("sess").start()
     q.processAllAvailable()
     q.stop()
+    // value_micros sums are integers < 2^53 carried as double — exact
+    // under any addition order, so cast to long for the set compare
     val streamed = spark.sql(
-      "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n, sum(value_micros) AS v FROM sess GROUP BY 1")
+      "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n, CAST(sum(value_micros) AS LONG) AS v FROM sess GROUP BY 1")
       .as[(Long, Long, Long, Long)].collect()
       .map { case (u, s, n, v) => u -> (s, n, v) }.toMap
     val batch = graft.events.EventOps.sessionStats(spark.read.parquet(dir))
