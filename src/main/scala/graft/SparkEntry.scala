@@ -204,6 +204,25 @@ object SparkEntry {
     // deterministic hash-threshold sampling (never rand() at scale)
     "sample_hash" -> ((s, dir) =>
       TextOps.sampleHash(docs(s, dir), "doc_id", rate = 0.25).select("doc_id")),
+    // exact per-language median quality (rank pick — engine-agnostic)
+    "group_median" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qual = TextOps.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      TextOps.groupMedianExact(
+        d.select(col("doc_id"), col("lang")).join(qual, "doc_id"),
+        "lang", "quality", "doc_id")
+    }),
+    // adaptive curation: keep docs at/above their language's median
+    "quality_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qual = TextOps.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      TextOps.aboveGroupMedian(
+        d.select(col("doc_id"), col("lang")).join(qual, "doc_id"),
+        "lang", "quality", "doc_id")
+        .select("doc_id", "lang", "quality")
+    }),
     // group-wise top-k: 3 best docs per language (the metadata column —
     // 5 real groups in the corpus; lang_pred would collapse to one) by
     // quality score
@@ -769,6 +788,28 @@ object OracleSql {
       (s"SELECT doc_id FROM documents WHERE " +
         s"CAST('0x'||substr(sha256('sample|'||doc_id),1,15) AS BIGINT) < " +
         s"${(0.25 * (1L << 60).toDouble).toLong}"),
+    // lower median by rank pick — integer division on both sides
+    "group_median" ->
+      (s"""WITH qual AS ($qualitySql)
+         |SELECT lang, median_value FROM (
+         |  SELECT d.lang, q.quality AS median_value,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality, q.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+         |WHERE rn = (n + 1) // 2""".stripMargin),
+    "quality_filter" ->
+      (s"""WITH qual AS ($qualitySql),
+         |j AS (SELECT d.lang, q.doc_id, q.quality
+         |      FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+         |med AS (SELECT lang, median_value FROM (
+         |  SELECT lang, quality AS median_value,
+         |    row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM j)
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT j.doc_id, j.lang, j.quality
+         |FROM j JOIN med ON j.lang = med.lang
+         |WHERE j.quality >= med.median_value""".stripMargin),
     "top_per_group" ->
       (s"""WITH qual AS ($qualitySql)
          |SELECT lang, rank, doc_id, quality FROM (

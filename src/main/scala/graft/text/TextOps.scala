@@ -104,6 +104,39 @@ object TextOps {
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact per-group median by RANK PICK (the lower median for even
+    * group sizes): the median is an actual element of the group, never
+    * an interpolated value — so any engine that sorts the same doubles
+    * picks the bit-identical element (interpolating medians differ
+    * across engines by op order). One exchange by group; the per-group
+    * sort is the honest exact path — at 100 TB switch to
+    * approx_percentile (a mergeable sketch) and accept the error bound.
+    */
+  def groupMedianExact(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val w = byGroup.orderBy(col(valueCol), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byGroup))
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      .select(col(groupCol), col(valueCol).as("median_value"))
+  }
+
+  /** Adaptive per-group threshold filter — the corpus-curation shape
+    * (keep documents at or above their OWN group's median score, so a
+    * low-resource language is not graded against English's
+    * distribution). Median join is broadcast-friendly: one row per
+    * group.
+    */
+  def aboveGroupMedian(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val med = groupMedianExact(df, groupCol, scoreCol, idCol)
+    df.join(med, groupCol)
+      .filter(col(scoreCol) >= col("median_value"))
+      .drop("median_value")
+  }
+
   /** rolling polynomial fingerprint over token hashes:
     * acc = (acc*31 + h mod 1000003) mod 1000000007 — order-sensitive,
     * so reordered documents fingerprint differently (unlike bag

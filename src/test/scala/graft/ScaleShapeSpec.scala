@@ -347,6 +347,21 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nested < once.size && nested > 0)
   }
 
+  test("groupMedianExact picks the lower-median ELEMENT; filter keeps >= half per group") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 7.0), ("g", 3L, 3.0), ("g", 4L, 9.0),
+      ("h", 5L, 5.0), ("h", 6L, 2.0), ("h", 7L, 8.0))
+      .toDF("grp", "id", "v")
+    val med = TextOps.groupMedianExact(df, "grp", "v", "id")
+      .as[(String, Double)].collect().toMap
+    // g sorted: 1,3,7,9 → lower median element 3.0; h sorted: 2,5,8 → 5.0
+    assert(med == Map("g" -> 3.0, "h" -> 5.0))
+    val kept = TextOps.aboveGroupMedian(df, "grp", "v", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 5L, 7L))
+  }
+
   test("topPerGroup: k best per group, score desc, id tiebreak") {
     import spark.implicits._
     val df = Seq(("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0),
