@@ -204,37 +204,30 @@ object SparkEntry {
     // deterministic hash-threshold sampling (never rand() at scale)
     "sample_hash" -> ((s, dir) =>
       TextOps.sampleHash(docs(s, dir), "doc_id", rate = 0.25).select("doc_id")),
-    // exact per-language median quality (rank pick — engine-agnostic)
-    "group_median" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val qual = TextOps.qualityScore(d, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
+    // exact per-language median quality (rank pick — engine-agnostic);
+    // lang rides through the score projection (keepCols), so the whole
+    // input is ONE map-side pass — no self-join of documents
+    "group_median" -> ((s, dir) =>
       TextOps.groupMedianExact(
-        d.select(col("doc_id"), col("lang")).join(qual, "doc_id"),
-        "lang", "quality", "doc_id")
-    }),
+        TextOps.qualityScore(docs(s, dir), "doc_id", "text", keepCols = Seq("lang"))
+          .select("doc_id", "lang", "quality"),
+        "lang", "quality", "doc_id")),
     // adaptive curation: keep docs at/above their language's median
-    "quality_filter" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val qual = TextOps.qualityScore(d, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
+    "quality_filter" -> ((s, dir) =>
       TextOps.aboveGroupMedian(
-        d.select(col("doc_id"), col("lang")).join(qual, "doc_id"),
+        TextOps.qualityScore(docs(s, dir), "doc_id", "text", keepCols = Seq("lang"))
+          .select("doc_id", "lang", "quality"),
         "lang", "quality", "doc_id")
-        .select("doc_id", "lang", "quality")
-    }),
+        .select("doc_id", "lang", "quality")),
     // group-wise top-k: 3 best docs per language (the metadata column —
     // 5 real groups in the corpus; lang_pred would collapse to one) by
     // quality score
-    "top_per_group" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val qual = TextOps.qualityScore(d, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
+    "top_per_group" -> ((s, dir) =>
       TextOps.topPerGroup(
-        d.select(col("doc_id"), col("lang")).join(qual, "doc_id"),
+        TextOps.qualityScore(docs(s, dir), "doc_id", "text", keepCols = Seq("lang"))
+          .select("doc_id", "lang", "quality"),
         "lang", "quality", "doc_id", k = 3)
-        .select("lang", "rank", "doc_id", "quality")
-    }),
+        .select("lang", "rank", "doc_id", "quality")),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
@@ -293,6 +286,13 @@ object SparkEntry {
           col("asof_event_id").cast("double").as("asof_event_id"),
           col("asof_value"))
     }),
+
+    // JSON metadata extraction (events.props carries a JSON string —
+    // the typed-extraction op every log pipeline needs; map-side,
+    // codegen'd get_json_object, no UDF)
+    "json_props" -> ((s, dir) =>
+      tbl(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
     // ---- relational/join coverage over the TPC-H-shaped tables ----
     // (the shuffle/broadcast story a 100 TB deployment lives on:
@@ -453,6 +453,8 @@ object SparkEntry {
          |  at_commands, 1 AS at_command_count,
          |  false AS has_code_blocks, false AS has_tables
          |FROM c""".stripMargin),
+    "json_props" ->
+      "SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events",
     // event ops: timestamps compared in integer microseconds
     // (epoch_us ↔ unix_micros) so both engines do exact integer math
     "sessionize" ->

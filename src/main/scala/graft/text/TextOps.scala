@@ -44,8 +44,13 @@ object TextOps {
         .otherwise("es"))
   }
 
-  /** quality features + a fixed blend score in [0,1]. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** quality features + a fixed blend score in [0,1]. `keepCols` are
+    * passed through (e.g. a language column for downstream per-group
+    * curation) so callers never need to join the score frame back to
+    * the source — one map-side projection, no self-join.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
     val nTokens = size(regexp_extract_all(t, lit(Tokenizer.TokenRegex), lit(0)))
@@ -58,14 +63,14 @@ object TextOps {
       aggregate(regexp_extract_all(t, lit(Dedup.WordRegex), lit(0)),
         lit(0L), (acc, w) => acc + length(w)) /
         greatest(nWords, lit(1)).cast("double")
-    docs.select(col(idCol),
+    docs.select(Seq(col(idCol)) ++ keepCols.map(col) ++ Seq(
       nChars.as("n_chars"), nTokens.as("n_tokens"),
       punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
       meanWordLen.as("mean_word_len"),
       ((least(lit(1.0), nTokens / lit(50.0)) +
         (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
         least(lit(1.0), stopRatio * lit(5.0)) +
-        least(lit(1.0), meanWordLen / lit(8.0))) / lit(4.0)).as("quality"))
+        least(lit(1.0), meanWordLen / lit(8.0))) / lit(4.0)).as("quality")): _*)
   }
 
   /** Deterministic hash-threshold sampling — the reproducible way to
