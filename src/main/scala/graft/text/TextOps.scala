@@ -122,24 +122,38 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(col(groupCol))
     val w = byGroup.orderBy(col(valueCol), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byGroup))
-      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+    // null values are EXCLUDED up front (the SQL aggregate convention):
+    // leaving them in would also break cross-engine element identity —
+    // Spark ranks ASC nulls first, DuckDB nulls last
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__gm_rn", row_number().over(w))
+      .withColumn("__gm_n", count(lit(1)).over(byGroup))
+      .filter(col("__gm_rn") === ((col("__gm_n") + 1) / 2).cast("long"))
       .select(col(groupCol), col(valueCol).as("median_value"))
   }
 
   /** Adaptive per-group threshold filter — the corpus-curation shape
     * (keep documents at or above their OWN group's median score, so a
     * low-resource language is not graded against English's
-    * distribution). Median join is broadcast-friendly: one row per
-    * group.
+    * distribution). The median is computed INLINE in the same window
+    * pass that ranks the rows — one scan, one exchange by group, no
+    * join and no second evaluation of an expensive upstream score
+    * projection. Null scores are dropped (excluded from the median and
+    * never ≥ it).
     */
   def aboveGroupMedian(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String): DataFrame = {
-    val med = groupMedianExact(df, groupCol, scoreCol, idCol)
-    df.join(med, groupCol)
-      .filter(col(scoreCol) >= col("median_value"))
-      .drop("median_value")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val w = byGroup.orderBy(col(scoreCol), col(idCol))
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("__gm_rn", row_number().over(w))
+      .withColumn("__gm_n", count(lit(1)).over(byGroup))
+      .withColumn("__gm_med",
+        max(when(col("__gm_rn") === ((col("__gm_n") + 1) / 2).cast("long"),
+          col(scoreCol))).over(byGroup))
+      .filter(col(scoreCol) >= col("__gm_med"))
+      .drop("__gm_rn", "__gm_n", "__gm_med")
   }
 
   /** rolling polynomial fingerprint over token hashes:
