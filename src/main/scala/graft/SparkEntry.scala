@@ -195,6 +195,11 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+    // sketch-then-verify scale path: banded MinHash prescreen → exact
+    // Jaccard over candidates only (recall vs the exhaustive path is
+    // ScalaTest-measured, like embed_neardup vs _exact)
+    "ngram_jaccard_banded" -> ((s, dir) =>
+      Dedup.ngramJaccardBanded(docs(s, dir), "doc_id", "text", threshold = 0.5)),
     // canonical-doc selection: connected components over the simhash
     // near-dup graph (component = min reachable doc_id)
     "dedup_components" -> ((s, dir) =>
@@ -783,6 +788,23 @@ object OracleSql {
          |SELECT a_id, b_id, common / (sa.n + sb.n - common)::DOUBLE AS jaccard
          |FROM common JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          |WHERE common / (sa.n + sb.n - common)::DOUBLE >= 0.5""".stripMargin),
+    // banded candidates (dedup_minhash construction) + exact Jaccard
+    // over full distinct shingle-hash sets, verified only on candidates
+    "ngram_jaccard_banded" ->
+      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+         |strs AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${sqlHash("x")}) AS hl FROM strs),
+         |sets AS (SELECT doc_id, list_distinct(hl) AS sh FROM hs),
+         |sig AS (SELECT doc_id, list_transform(${graft.text.Dedup.sqlSeedsLiteral}, sd -> list_min(list_transform(hl, h -> ${graft.text.Dedup.sqlMix60("xor(h, sd)")}))) AS sg FROM hs),
+         |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
+         |  FROM sig, (SELECT unnest(range(0,4)) AS bi)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |scored AS (SELECT a_id, b_id,
+         |    len(list_intersect(sa.sh, sb.sh)) AS common, len(sa.sh) AS na, len(sb.sh) AS nb
+         |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, common / (na + nb - common)::DOUBLE AS jaccard
+         |FROM scored WHERE common / (na + nb - common)::DOUBLE >= 0.5""".stripMargin),
     "lang_id" -> langIdSql,
     "quality_score" -> qualitySql,
     // same 60-bit sha-threshold as TextOps.sampleHash, rate 0.25

@@ -192,21 +192,65 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextExprs.minhashSig(col(textCol)).as("sig"))
       .filter(size(col("sig")) > 0)
-    val bands = sigs.select(col("id"),
+    val bands = bandsOf(sigs)
+    if (materialize) { bands.persist(); bands.count() } // sketch built once
+    val raw = bandCandidates(bands)
+    if (!materialize) return raw // lazy plan, for shape audits
+    val pairs = raw.localCheckpoint() // materialize the (small) result …
+    bands.unpersist() // … so the sketch cache can be released
+    pairs
+  }
+
+  /** (id, sig) → exploded (id, band, key) band table */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"),
           concat_ws(",", slice(col("sig"), b * lit(RowsPerBand) + 1,
             lit(RowsPerBand))).as("key")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    if (materialize) { bands.persist(); bands.count() } // sketch built once
+
+  /** band table → distinct candidate pairs (equi-join on the bucket) */
+  private def bandCandidates(bands: DataFrame): DataFrame = {
     val a = bands.select(col("id").as("a_id"), col("band"), col("key"))
     val b = bands.select(col("id").as("b_id"), col("band"), col("key"))
-    val raw = a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    if (!materialize) return raw // lazy plan, for shape audits
-    val pairs = raw.localCheckpoint() // materialize the (small) result …
-    bands.unpersist() // … so the sketch cache can be released
-    pairs
+  }
+
+  /** Sketch-then-verify Jaccard: candidate pairs from the banded
+    * MinHash sketch, EXACT Jaccard (full distinct-shingle sets, no df
+    * cap — the prescreen already bounds the candidates) verified only
+    * over them. At 100 TB this bounds the pair stage by the band-bucket
+    * collision structure instead of Σdf² — the standard
+    * sketch-then-verify pipeline. RECALL is the LSH trade: a pair with
+    * true Jaccard J collides on ≥1 of b=4 bands of r=4 rows with
+    * probability 1−(1−J^4)^4 (≈0.23 at the θ=0.5 boundary, ≈0.99 at
+    * J=0.9) — near-exact duplicates are caught, borderline pairs
+    * sampled; ngramJaccard is the exhaustive (capped) path, and
+    * ScaleShapeSpec measures the subset/recall relation between them.
+    */
+  def ngramJaccardBanded(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, materialize: Boolean = true): DataFrame = {
+    val base = spread(docs).select(col(idCol).as("id"),
+      TextExprs.minhashSig(col(textCol)).as("sig"),
+      TextExprs.shingleHashes(col(textCol), distinct = true).as("sh"))
+      .filter(size(col("sig")) > 0)
+    if (materialize) { base.persist(); base.count() } // sketch + sets once
+    val cand = bandCandidates(bandsOf(base.select(col("id"), col("sig"))))
+    val pairs = cand
+      .join(base.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("common") / (size(col("sa")) + size(col("sb")) - col("common"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+    if (!materialize) return pairs // lazy plan, for shape audits
+    val out = pairs.localCheckpoint()
+    base.unpersist()
+    out
   }
 
   // ---- simhash ----

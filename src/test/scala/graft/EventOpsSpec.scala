@@ -122,6 +122,53 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("reserves"))
   }
 
+  test("sessionize equals a per-key sequential fold on random event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (round <- 1 to 3) {
+      val rows = (0L until 300L).map { i =>
+        (i, rnd.nextInt(8).toLong, new Timestamp(rnd.nextInt(172800) * 1000L))
+      }
+      val got = EventOps.sessionize(rows.toDF("event_id", "user_id", "ts"),
+        gapSeconds = 900L)
+        .select("event_id", "session_idx").as[(Long, Int)].collect().toMap
+      // reference: sort each user's events by (ts, id), fold the gap rule
+      val expected = rows.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        var idx = 0
+        var prev = Long.MinValue
+        sorted.map { e =>
+          if (prev != Long.MinValue && e._3.getTime - prev > 900000L) idx += 1
+          prev = e._3.getTime
+          e._1 -> idx
+        }
+      }
+      assert(got == expected, s"round $round")
+    }
+  }
+
+  test("asofJoin equals brute force on random probe/ref sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val probe = (0L until 150L).map(i =>
+      (i, rnd.nextInt(5).toLong, new Timestamp(rnd.nextInt(10000) * 1000L)))
+    val ref = (1000L until 1100L).map(i =>
+      (i, rnd.nextInt(5).toLong, new Timestamp(rnd.nextInt(10000) * 1000L),
+        rnd.nextInt(100).toDouble))
+    val got = EventOps.asofJoin(probe.toDF("event_id", "user_id", "ts"),
+      ref.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", refCols = Seq("event_id"))
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = probe.map { case (pid, key, pts) =>
+      val candidates = ref.filter(r => r._2 == key && r._3.getTime <= pts.getTime)
+      pid -> (if (candidates.isEmpty) -1L
+              else candidates.maxBy(r => (r._3.getTime, r._1))._1)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("sessionize plans exactly one exchange, hash-partitioned by the key") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val p = EventOps.sessionize(ev).queryExecution.executedPlan.toString

@@ -372,6 +372,25 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("g1", 1, 2L), ("g1", 2, 3L), ("g2", 1, 5L)))
   }
 
+  test("banded jaccard is a subset of the exhaustive uncapped path with measured recall") {
+    import spark.implicits._
+    val docs = SparkEntry.docs(spark, sf)
+    // uncapped exhaustive = the recall reference (the df cap changes
+    // scores, so compare against maxDf = ∞)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, maxDf = Int.MaxValue)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val banded = Dedup.ngramJaccardBanded(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exact), "the prescreen must never invent a pair")
+    val recall = if (exact.isEmpty) 1.0 else banded.size.toDouble / exact.size
+    info(f"banded-jaccard recall at θ=0.5: $recall%.2f (${banded.size}/${exact.size})")
+    assert(recall >= 0.4, s"recall $recall collapsed — banding misconfigured")
+    // plan audit: no cartesian anywhere in the lazy plan
+    val p = plan(Dedup.ngramJaccardBanded(docs, "doc_id", "text", 0.5,
+      materialize = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ngram df cap drops stop-shingle-only candidate pairs") {
     import spark.implicits._
     // every doc shares exactly the boilerplate shingle "aa bb cc"
