@@ -8,7 +8,7 @@ import graft.gen.TranscriptGen
 import graft.multimodal.Multimodal
 import graft.rag.{AnnIvf, AnnLsh, Confidence, HashEmbedder, TopK}
 import graft.store.{Ids, StoreOps}
-import graft.text.{Dedup, TextOps}
+import graft.text.{Corpus, Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -234,6 +234,24 @@ object SparkEntry {
         "lang", "quality", "doc_id", k = 3)
         .select("lang", "rank", "doc_id", "quality")),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
+    // benchmark decontamination: docs sharing any word 4-gram with the
+    // held-out eval split (doc_id % 20 == 0 — deterministic, oracle-
+    // reproducible); the benchmark n-gram set is broadcast
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4)
+    }),
+    // Gopher-style repetition signals: duplicate-line fraction +
+    // top-2-gram occurrence share, with the repetitive flag
+    "repetition_stats" -> ((s, dir) =>
+      Corpus.repetitionStats(docs(s, dir), "doc_id", "text")),
+    // top-3 distinctive terms per doc (TF-IDF with rational idf = 1/df
+    // so the score is an exact IEEE division both engines share)
+    "distinctive_terms" -> ((s, dir) =>
+      Corpus.distinctiveTerms(docs(s, dir), "doc_id", "text", k = 3)),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
     // frame_offsets scalarized (comma-joined) for the same
@@ -845,6 +863,43 @@ object OracleSql {
       (s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($sqlWords, " +
         s"w -> ${sqlHash("w")} % 1000003)), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint " +
         "FROM documents"),
+    // word 4-grams via list slicing (range is end-exclusive; slice is
+    // 1-based inclusive), distinct on the STRINGS before hashing —
+    // exactly the native kernel's order of operations
+    "decontaminate" ->
+      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' ')))) AS s
+         |  FROM w WHERE len(ws) >= 4),
+         |gh AS (SELECT doc_id, ${sqlHash("s")} AS g FROM g),
+         |bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 20 = 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM gh SEMI JOIN bench USING (g)
+         |WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin),
+    "repetition_stats" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS lines,
+         |    $sqlWords AS ws FROM documents),
+         |g AS (SELECT doc_id, len(lines) AS n_lines, len(list_distinct(lines)) AS n_distinct,
+         |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ${sqlHash("ws[i]||' '||ws[i+1]")}) ELSE []::BIGINT[] END AS gs
+         |  FROM base),
+         |st AS (SELECT doc_id, n_lines, n_distinct, len(gs) AS n_grams,
+         |    CASE WHEN len(gs) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(gs), x -> len(list_filter(gs, y -> y = x)))) END AS top_cnt
+         |  FROM g),
+         |fr AS (SELECT doc_id,
+         |    CASE WHEN n_lines > 0 THEN (n_lines - n_distinct)::DOUBLE / n_lines ELSE 0.0 END AS dup_line_frac,
+         |    CASE WHEN n_grams > 0 THEN top_cnt::DOUBLE / n_grams ELSE 0.0 END AS top_bigram_frac
+         |  FROM st)
+         |SELECT doc_id, dup_line_frac, top_bigram_frac,
+         |  CASE WHEN dup_line_frac > 0.3 OR top_bigram_frac > 0.2 THEN 1 ELSE 0 END AS repetitive
+         |FROM fr""".stripMargin),
+    "distinctive_terms" ->
+      (s"""WITH t AS (SELECT doc_id, unnest(list_transform($sqlWords, w -> lower(w))) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (SELECT doc_id, term, tf, df, tf::DOUBLE / df AS score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf::DOUBLE / df DESC, term) AS INT) AS rank
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id, i AS frame_idx, i*100 AS frame_offset,
          |  sha256(substr(text, i*100 + 1, 100)) AS frame_digest

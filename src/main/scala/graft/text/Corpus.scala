@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators for a training-data pipeline:
+  * benchmark decontamination (n-gram overlap against a held-out eval
+  * set), repetition-based quality signals (the Gopher-style
+  * duplicate-line / top-n-gram filters, Rae et al. 2021 §A1.1), and
+  * per-document distinctive-term extraction (TF-IDF-shaped, with an
+  * engine-exact rational idf).
+  *
+  * Shared hash basis with the dedup family (word regex
+  * `[A-Za-z0-9]+`, 60-bit sha256-derived shingle hashes via the
+  * native [[ShingleHashes]] kernel) so the DuckDB oracle reproduces
+  * every value bit-for-bit.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: flag training documents that share at
+    * least one word n-gram with the benchmark/eval corpus — the
+    * standard guard against test-set leakage into training data (the
+    * GPT-3 appendix-C / PaLM n-gram overlap check).
+    *
+    * Returns (doc_id, n_hits): one row per CONTAMINATED training doc,
+    * n_hits = number of DISTINCT n-grams of that doc that appear
+    * anywhere in the benchmark.
+    *
+    * Scale shape (100 TB train, benchmark ≪ train — benchmarks are
+    * MBs): the benchmark's distinct n-gram hash set is aggregated
+    * small and explicitly `broadcast` — the contamination check is
+    * then a map-side hash probe per training n-gram; the only
+    * shuffle is the (doc_id, partial-count) aggregate, combine-
+    * friendly and keyed by doc_id (well-distributed). The train side's
+    * full text never moves. If the benchmark outgrew a broadcast
+    * (it should not), drop the hint and let AQE pick a shuffle join,
+    * or prescreen with a bloom filter of the benchmark set.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextExprs.shingleHashes(col(textCol), distinct = true, n))
+        .as("g"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(TextExprs.shingleHashes(col(textCol), distinct = true, n))
+          .as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Repetition quality signals per document (Gopher §A1.1 shape):
+    *   - dup_line_frac: fraction of non-empty trimmed lines that are
+    *     duplicates of another line in the same doc,
+    *     (n_lines − n_distinct_lines) / n_lines.
+    *   - top_bigram_frac: share of the document's word-2-gram
+    *     occurrences taken by its single most frequent 2-gram
+    *     (count fraction; Gopher's char-fraction variant differs only
+    *     by a length weight).
+    *   - repetitive: 1 iff dup_line_frac > 0.3 or top_bigram_frac
+    *     > 0.2 (Gopher-ish thresholds).
+    *
+    * Scale shape: line stats are a pure map-side projection. The
+    * 2-gram mode is the one genuinely distributional part — counted
+    * relationally via explode + two hash aggregates, both combine
+    * map-side, both keyed by doc_id (first compound with the gram
+    * hash), so a hot document never concentrates beyond its own rows
+    * and the shuffle carries (doc_id, 8-byte gram hash) pairs, never
+    * text. `explode_outer` keeps gram-less docs (<2 words) in the
+    * output with zero fractions. 2-grams are hashed by the native
+    * 60-bit kernel — identically on the DuckDB side, so a 2^-60
+    * collision (merging two gram counts) would be mirrored exactly.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val exploded = docs.select(
+      col(idCol).as("doc_id"),
+      size(lines).as("n_lines"),
+      size(array_distinct(lines)).as("n_distinct_lines"),
+      explode_outer(TextExprs.shingleHashes(col(textCol), distinct = false, n = 2))
+        .as("g"))
+    val perGram = exploded
+      .groupBy("doc_id", "g")
+      .agg(count(col("g")).as("cnt"),
+        min("n_lines").as("n_lines"),
+        min("n_distinct_lines").as("n_distinct_lines"))
+    val perDoc = perGram
+      .groupBy("doc_id")
+      .agg(max("cnt").as("top_cnt"), sum("cnt").as("n_grams"),
+        min("n_lines").as("n_lines"),
+        min("n_distinct_lines").as("n_distinct_lines"))
+    val dupFrac = when(col("n_lines") > 0,
+      (col("n_lines") - col("n_distinct_lines")).cast("double") / col("n_lines"))
+      .otherwise(0.0)
+    val topFrac = when(col("n_grams") > 0,
+      col("top_cnt").cast("double") / col("n_grams"))
+      .otherwise(0.0)
+    perDoc.select(
+      col("doc_id"),
+      dupFrac.as("dup_line_frac"),
+      topFrac.as("top_bigram_frac"),
+      when(dupFrac > 0.3 || topFrac > 0.2, 1).otherwise(0).as("repetitive"))
+  }
+
+  /** Top-k distinctive terms per document — the TF-IDF shape with a
+    * RATIONAL idf: score = tf / df (idf = 1/df instead of ln(N/df) —
+    * order-equivalent per fixed tf, and an exact IEEE double division
+    * both engines compute identically, where a transcendental ln would
+    * make the oracle engine-dependent in the last bit). Terms are the
+    * lowercased `[A-Za-z0-9]+` words.
+    *
+    * Scale shape: tf is one combine-friendly aggregate keyed by
+    * (doc_id, term); df is a second aggregate over the tf frame keyed
+    * by term (vocabulary-sized — Zipf makes this far smaller than the
+    * corpus, with partial aggregation absorbing the hot head). The
+    * tf⋈df join is left to AQE: a natural-language vocabulary
+    * broadcast-fits, an adversarial key domain falls back to a shuffle
+    * join on term. The final top-k is a rank window keyed by doc_id —
+    * per-doc state only, never a global sort.
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(transform(Dedup.wordsCol(col(textCol)), w => lower(w)))
+          .as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+}

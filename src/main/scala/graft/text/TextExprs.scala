@@ -55,21 +55,26 @@ object TextKernels {
     v >>> 4
   }
 
-  /** 60-bit hashes of the word 3-shingles (optionally of the distinct
+  /** 60-bit hashes of the word n-shingles (optionally of the distinct
     * shingle STRINGS — distinct is taken before hashing, mirroring the
-    * oracle's `list_distinct` on strings). Empty below 3 words.
+    * oracle's `list_distinct` on strings). Empty below n words.
     */
-  def shingleHashes(text: UTF8String, distinct: Boolean): ArrayData = {
+  def shingleHashes(text: UTF8String, distinct: Boolean, n: Int = 3): ArrayData = {
     val w = words(if (text == null) "" else text.toString)
-    if (w.length < 3) return ArrayData.toArrayData(Array.emptyLongArray)
-    val n = w.length - 2
+    if (w.length < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    val count = w.length - n + 1
     val sb = new java.lang.StringBuilder(64)
     val seen = if (distinct) new java.util.LinkedHashSet[String]() else null
-    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
     var i = 0
-    while (i < n) {
+    while (i < count) {
       sb.setLength(0)
-      sb.append(w(i)).append(' ').append(w(i + 1)).append(' ').append(w(i + 2))
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
       val s = sb.toString
       if (seen == null) out += hash60(s)
       else if (seen.add(s)) out += hash60(s)
@@ -147,22 +152,26 @@ object TextKernels {
   }
 }
 
-/** text → array<long> of 60-bit shingle hashes (native one-pass). */
+/** text → array<long> of 60-bit word n-shingle hashes (native
+  * one-pass; n = shingle width in words).
+  */
 case class ShingleHashes(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
-    distinct: Boolean) extends UnaryExpression {
+    distinct: Boolean, n: Int = 3) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    TextExprs.requireString(prettyName, child.dataType)
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires shingle width n >= 1, got $n")
+    else TextExprs.requireString(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(s: Any): Any =
-    TextKernels.shingleHashes(s.asInstanceOf[UTF8String], distinct)
+    TextKernels.shingleHashes(s.asInstanceOf[UTF8String], distinct, n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
-      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.text.TextKernels$$.MODULE$$.shingleHashes($a, $distinct)")
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.text.TextKernels$$.MODULE$$.shingleHashes($a, $distinct, $n)")
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -226,8 +235,8 @@ object TextExprs {
     else TypeCheckResult.TypeCheckFailure(
       s"$fn requires a STRING argument, got ${dt.catalogString}")
 
-  def shingleHashes(text: Column, distinct: Boolean): Column =
-    toColumn(ShingleHashes(toExpression(text), distinct))
+  def shingleHashes(text: Column, distinct: Boolean, n: Int = 3): Column =
+    toColumn(ShingleHashes(toExpression(text), distinct, n))
 
   def minhashSig(text: Column): Column =
     toColumn(MinHashSig(toExpression(text)))

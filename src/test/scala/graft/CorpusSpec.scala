@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.text.{Corpus, TextKernels}
+
+/** Corpus-curation operators vs brute-force oracles: decontamination
+  * (set intersection on word n-grams), repetition stats (hand-computed
+  * duplicate-line / top-bigram fractions), distinctive terms (tf/df
+  * recomputed naively), and the generalized n-shingle kernel.
+  */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def words(s: String): Vector[String] =
+    "[A-Za-z0-9]+".r.findAllIn(s).toVector
+
+  private def ngrams(s: String, n: Int): Set[String] =
+    words(s).sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+
+  test("shingleHashes kernel generalizes to n: values = hash60 of string n-grams") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "", "one two three four five six seven",
+      "dup dup dup dup")
+    for (n <- Seq(2, 4, 5)) {
+      val got = texts.toDF("text")
+        .select(graft.text.TextExprs.shingleHashes(col("text"), distinct = false, n))
+        .as[Seq[Long]].collect()
+      val want = texts.map(t =>
+        words(t).sliding(n).filter(_.size == n)
+          .map(g => TextKernels.hash60(g.mkString(" "))).toSeq)
+      assert(got.toSeq.map(_.toList) == want.map(_.toList), s"n=$n")
+    }
+  }
+
+  test("decontaminate = naive n-gram set intersection, counts distinct hits") {
+    import spark.implicits._
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five"))
+    val train = Seq(
+      (10L, "prefix alpha beta gamma delta suffix words"), // 1 shared 4-gram
+      (11L, "one two three four five and one two three four again"), // several
+      (12L, "completely different content with no overlap at all"),
+      (13L, "alpha beta gamma delta epsilon full copy"), // 2 shared
+      (14L, "short"))
+    val got = Corpus.decontaminate(
+      train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+      "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    val benchSet = bench.map(_._2).flatMap(t => ngrams(t, 4)).toSet
+    val want = train.map { case (id, t) => id -> ngrams(t, 4).count(benchSet) }
+      .filter(_._2 > 0).toMap
+    assert(got == want.map { case (k, v) => (k, v.toLong) })
+    assert(!got.contains(12L) && !got.contains(14L))
+  }
+
+  test("decontaminate plan broadcasts the benchmark gram set (semi join, no shuffle of train grams)") {
+    import spark.implicits._
+    val df = spark.range(0, 200)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("w"), col("id").cast("string"),
+          lit("x y z common tail phrase")).as("text"))
+    val plan = Corpus.decontaminate(
+      df.filter(col("doc_id") % 10 =!= 0), df.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
+  test("repetitionStats: hand-computed fractions, empty and gram-less docs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 non-empty lines, 1 distinct -> dup (4-1)/4 = 0.75; bigrams of
+      // words a b a b a b a b -> 7 bigrams, top "a b" x4 -> 4/7
+      (1L, "a b\na b\n\na b\na b"),
+      // no duplicate lines, all bigrams distinct -> top 1/3
+      (2L, "one two\nthree four"),
+      (3L, ""), // no lines, no grams
+      (4L, "single")) // 1 line, no bigrams
+    val got = Corpus.repetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0.75, 4.0 / 7.0, 1)))
+    assert(got(1) == ((2L, 0.0, 1.0 / 3.0, 1)))
+    assert(got(2) == ((3L, 0.0, 0.0, 0)))
+    assert(got(3) == ((4L, 0.0, 0.0, 0)))
+  }
+
+  test("distinctiveTerms = naive tf/df ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date date date Elder"))
+    val got = Corpus.distinctiveTerms(docs.toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._6) -> (r._2, r._3, r._4, r._5)).toMap
+    // naive recompute
+    val tf = docs.flatMap { case (id, t) => words(t).map(w => (id, w.toLowerCase)) }
+      .groupBy(identity).map { case ((id, w), xs) => (id, w, xs.size.toLong) }
+    val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val want = tf.toSeq.map { case (id, w, n) => (id, w, n, df(w), n.toDouble / df(w)) }
+      .groupBy(_._1).flatMap { case (_, ts) =>
+        ts.sortBy(t => (-t._5, t._2)).take(2).zipWithIndex.map { case (t, i) =>
+          (t._1, i + 1) -> (t._2, t._3, t._4, t._5)
+        }
+      }.toMap
+    assert(got == want)
+  }
+}
