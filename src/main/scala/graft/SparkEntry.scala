@@ -6,7 +6,7 @@ import graft.chunk.{ChunkOps, Tokenizer}
 import graft.extract.ExtractPipeline
 import graft.gen.TranscriptGen
 import graft.multimodal.Multimodal
-import graft.rag.{AnnIvf, AnnLsh, Confidence, HashEmbedder, TopK}
+import graft.rag.{AnnIvf, AnnLsh, AnnPq, Confidence, HashEmbedder, TopK}
 import graft.store.{Ids, StoreOps}
 import graft.text.{Corpus, Dedup, TextOps}
 
@@ -184,6 +184,24 @@ object SparkEntry {
       TopK.search(
         e.filter(AnnIvf.cellCol(col("embedding"), cents).isin(probes: _*)),
         qv, k = 10).select("vec_id", "score")
+    }),
+    // PQ codes per vector (m=8 subspaces × 16 centroids), comma-joined
+    // for the comparator — gates the trained codebooks + native encode
+    // kernel over every row
+    "pq_encode" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cbs = AnnPq.codebooks(e)
+      Queries.lastPq = Some(cbs)
+      e.select(col("vec_id"),
+        array_join(transform(AnnPq.encodeCol(col("embedding"), cbs),
+          c => c.cast("string")), ",").as("codes"))
+    }),
+    // IVF coarse probe + PQ asymmetric-distance rank — the compressed-
+    // domain scan (codes + LUT adds, no vector arithmetic per row)
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Queries.lastPq = Some(AnnPq.codebooks(e))
+      AnnPq.search(e, Queries.queryVec(s, dir), k = 10)
     }),
 
     // ---- training-data pipeline: dedup / text analysis / multimodal ----
@@ -560,6 +578,12 @@ object SparkEntry {
     // to the old rows-only check rather than inventing centroids
     Queries.lastKmeans.map { case (cents, probes) =>
       "ann_ivf_kmeans" -> OracleSql.kmeansSql(cents, probes)
+    } ++
+    // same late-binding rule as the k-means oracle: the PQ codebooks
+    // are training artifacts, inlined as literals once trained
+    Queries.lastPq.toSeq.flatMap { cbs =>
+      Seq("pq_encode" -> OracleSql.pqEncodeSql(cbs),
+        "ann_ivfpq" -> OracleSql.ivfpqSql(cbs))
     }
 }
 
@@ -572,6 +596,22 @@ object OracleSql {
 
   private def dot(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (a,b) -> a+b)"
+
+  /** a double literal DuckDB parses as DOUBLE. A plain decimal literal
+    * is typed DECIMAL(18,·) first and only then cast — ≥16-significant-
+    * digit values lose their low bits in that intermediate (measured:
+    * 0.094264176948105585 parses to ...599). An exponent suffix forces
+    * the DOUBLE (strtod, correctly-rounded) parse; Scala's toString
+    * already emits E-notation outside [1e-3, 1e7).
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  /** DOUBLE[] literal with exact element round-trip */
+  private def dlist(a: Array[Double]): String =
+    a.map(dlit).mkString("[", ",", "]") + "::DOUBLE[]"
   private def nrm(a: String) =
     s"sqrt(list_reduce(list_transform($a, x -> x*x), (a,b) -> a+b))"
   private val scoreCase =
@@ -703,7 +743,7 @@ object OracleSql {
     def cos(a: String, b: String) =
       s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
     val rows = cents.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.mkString(",")}]::DOUBLE[])"
+      s"($i, ${dlist(c)})"
     }.mkString(", ")
     s"""WITH c(cidx, cv) AS (SELECT * FROM (VALUES $rows)),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -717,6 +757,67 @@ object OracleSql {
        |  ${nrm("v")} AS na, (SELECT ${nrm("qe")} FROM q) AS nb FROM cand)
        |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(na*nb) END AS score
        |FROM fs ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ---- product quantization (codebooks inlined like kmeansSql) ----
+
+  /** squared L2 over zipped lists — the oracle twin of AnnPq.l2sq
+    * (fold starts at the first squared diff; squares are non-negative,
+    * so the missing 0.0 seed cannot change the IEEE value)
+    */
+  private def l2d(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])), (a,b) -> a+b)"
+
+  /** shared CTE chain: codebook literals (j, k, cv) → per-(vec, j)
+    * subvectors → L2 distances → first-min codes (ORDER BY d, k = the
+    * kernel's strict-< rule)
+    */
+  private def pqCodesCte(cbs: Seq[Seq[Array[Double]]]): String = {
+    val m = cbs.length
+    val sub = cbs.head.head.length
+    val rows = (for { (cb, j) <- cbs.zipWithIndex; (c, k) <- cb.zipWithIndex }
+      yield s"($j, $k, ${dlist(c)})").mkString(", ")
+    s"""WITH cb(j, k, cv) AS (SELECT * FROM (VALUES $rows)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sv AS (SELECT vec_id, j, list_slice(v, j*$sub+1, j*$sub+$sub) AS svec
+       |  FROM e, (SELECT unnest(range(0, $m)) AS j)),
+       |dists AS (SELECT vec_id, sv.j AS j, k, ${l2d("svec", "cv")} AS d
+       |  FROM sv JOIN cb ON cb.j = sv.j),
+       |code AS (SELECT vec_id, j, k AS c FROM (SELECT vec_id, j, k,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
+       |  FROM dists) WHERE rn = 1)""".stripMargin
+  }
+
+  def pqEncodeSql(cbs: Seq[Seq[Array[Double]]]): String =
+    pqCodesCte(cbs) +
+      "\nSELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY j) AS codes FROM code GROUP BY 1"
+
+  /** ann_ivfpq oracle: coarse cells/probes re-derived in SQL (first-
+    * NCells centroids by key, cosine, first-max — the ann_ivf rules),
+    * ADC = per-subspace LUT values summed in j order (list_reduce over
+    * list(ORDER BY j) = the Spark side's left-assoc literal chain).
+    */
+  def ivfpqSql(cbs: Seq[Seq[Array[Double]]], k: Int = 10, refine: Int = 4): String = {
+    def cos(a: String, b: String) =
+      s"(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)}/(${nrm(a)}*${nrm(b)}) END)"
+    val sub = cbs.head.head.length
+    pqCodesCte(cbs) + s""",
+       |q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+       |lut AS (SELECT j, k, ${l2d(s"list_slice((SELECT qe FROM q), j*$sub+1, j*$sub+$sub)", "cv")} AS lv FROM cb),
+       |coarse AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cidx, embedding::DOUBLE[] AS ccv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT ${graft.rag.AnnIvf.NCells})),
+       |sc AS (SELECT e.vec_id, coarse.cidx, ${cos("e.v", "coarse.ccv")} AS s FROM e CROSS JOIN coarse),
+       |cells AS (SELECT vec_id, cidx FROM (SELECT vec_id, cidx,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn FROM sc) WHERE rn = 1),
+       |qc AS (SELECT cidx FROM sc WHERE vec_id = 0 ORDER BY s DESC, cidx LIMIT ${graft.rag.AnnIvf.NProbe}),
+       |cand AS (SELECT code.vec_id, code.j, code.c FROM code JOIN cells USING (vec_id)
+       |  WHERE cells.cidx IN (SELECT cidx FROM qc)),
+       |ad AS (SELECT vec_id, list_reduce(list(lut.lv ORDER BY cand.j), (a,b) -> a+b) AS adist
+       |  FROM cand JOIN lut ON lut.j = cand.j AND lut.k = cand.c GROUP BY vec_id),
+       |shortlist AS (SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT ${k * refine}),
+       |refined AS (SELECT s.vec_id, s.adist, ${l2d("e.v", "(SELECT qe FROM q)")} AS dist
+       |  FROM shortlist s JOIN e ON e.vec_id = s.vec_id)
+       |SELECT vec_id, adist, dist FROM refined ORDER BY dist, vec_id LIMIT $k""".stripMargin
   }
 
   // ---- training-data ops ----
@@ -926,6 +1027,11 @@ object Queries {
     * by Verify after the queries run) can inline them as literals.
     */
   @volatile private[graft] var lastKmeans: Option[(Seq[Array[Double]], Seq[Int])] = None
+
+  /** the latest PQ codebooks (per-subspace centroid tables), recorded
+    * by pq_encode/ann_ivfpq so oracleSql can inline them as literals.
+    */
+  @volatile private[graft] var lastPq: Option[Seq[Seq[Array[Double]]]] = None
 
   /** query vector = embedding of vec_id 0, as doubles (the reference
     * embeds the query text; here the query arrives pre-embedded —

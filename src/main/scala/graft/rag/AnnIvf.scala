@@ -36,10 +36,13 @@ object AnnIvf {
     * dropped and re-trained lazily.
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def cachedCentroids(emb: DataFrame, params: String)(
-      train: => Seq[Array[Double]]): Seq[Array[Double]] = {
+  /** generic per-corpus-snapshot training-artifact cache — shared by
+    * the IVF centroid tables and the PQ codebooks (AnnPq).
+    */
+  private[rag] def cachedArtifact[T <: AnyRef](emb: DataFrame, params: String)(
+      train: => T): T = {
     if (centroidCache.size > 64) centroidCache.clear()
     // 256-bit digest of the resolved file list — a 32-bit hash could
     // collide across successive overwrites of the same path and serve
@@ -48,8 +51,12 @@ object AnnIvf {
       .digest(emb.inputFiles.sorted.mkString("\n").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     val key = s"${emb.queryExecution.analyzed.semanticHash()}|$snapshot|$params"
-    centroidCache.computeIfAbsent(key, _ => train)
+    centroidCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
   }
+
+  private def cachedCentroids(emb: DataFrame, params: String)(
+      train: => Seq[Array[Double]]): Seq[Array[Double]] =
+    cachedArtifact[Seq[Array[Double]]](emb, params)(train)
 
   /** drop all cached centroid tables (corpus mutated in place) */
   def invalidateCentroids(): Unit = centroidCache.clear()
