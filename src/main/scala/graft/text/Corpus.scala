@@ -76,12 +76,20 @@ object Corpus {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = filter(
       transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
-    val exploded = docs.select(
+    // line stats are STAGED in a projection below the explode: selected
+    // alongside explode_outer in one projection, the analyzer rebuilds
+    // them ABOVE the Generate — re-running split/array_distinct once
+    // per 2-gram row instead of once per document (seen in the
+    // executed plan; CollapseProject does not merge through Generate,
+    // so this two-step form keeps them per-document)
+    val staged = docs.select(
       col(idCol).as("doc_id"),
       size(lines).as("n_lines"),
       size(array_distinct(lines)).as("n_distinct_lines"),
-      explode_outer(TextExprs.shingleHashes(col(textCol), distinct = false, n = 2))
-        .as("g"))
+      TextExprs.shingleHashes(col(textCol), distinct = false, n = 2).as("gs"))
+    val exploded = staged.select(
+      col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+      explode_outer(col("gs")).as("g"))
     val perGram = exploded
       .groupBy("doc_id", "g")
       .agg(count(col("g")).as("cnt"),
