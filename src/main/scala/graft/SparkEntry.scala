@@ -270,6 +270,14 @@ object SparkEntry {
     // so the score is an exact IEEE division both engines share)
     "distinctive_terms" -> ((s, dir) =>
       Corpus.distinctiveTerms(docs(s, dir), "doc_id", "text", k = 3)),
+    // stratified per-language keep rates (policy map, pure map-side)
+    "sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+        defaultRate = 0.05).select("doc_id", "lang")),
+    // corpus census: (lang, source) grouping sets in one Expand+agg
+    "corpus_rollup" -> ((s, dir) =>
+      Corpus.compositionRollup(docs(s, dir), "lang", "source", "n_chars")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
     // frame_offsets scalarized (comma-joined) for the same
@@ -931,6 +939,19 @@ object OracleSql {
       (s"SELECT doc_id FROM documents WHERE " +
         s"CAST('0x'||substr(sha256('sample|'||doc_id),1,15) AS BIGINT) < " +
         s"${(0.25 * (1L << 60).toDouble).toLong}"),
+    // per-group thresholds are the same precomputed longs as
+    // Corpus.stratifiedSample's CASE column
+    "sample_stratified" -> {
+      def t(r: Double) = (r * (1L << 60).toDouble).toLong
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x'||substr(sha256('strat|'||doc_id),1,15) AS BIGINT) <
+         |  CASE WHEN lang = 'de' THEN ${t(0.25)} WHEN lang = 'en' THEN ${t(0.5)}
+         |       WHEN lang = 'fr' THEN ${t(0.1)} ELSE ${t(0.05)} END""".stripMargin
+    },
+    "corpus_rollup" ->
+      ("""SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+         |  count(*) AS n_docs, sum(n_chars)::DOUBLE AS total_weight
+         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin),
     // lower median by rank pick — integer division on both sides
     "group_median" ->
       (s"""WITH qual AS ($qualitySql)

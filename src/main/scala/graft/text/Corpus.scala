@@ -113,6 +113,52 @@ object Corpus {
       when(dupFrac > 0.3 || topFrac > 0.2, 1).otherwise(0).as("repetitive"))
   }
 
+  /** Stratified deterministic sampling: per-group keep rates over the
+    * same 60-bit sha threshold as [[TextOps.sampleHash]] (keep iff
+    * hash(salt|id) < rate(group)·2^60). The per-group thresholds are
+    * precomputed longs, so group rate selection is one CASE column —
+    * a pure map-side filter, no shuffle, stable across retries and
+    * partitionings, reproducible by any engine with sha256. The
+    * corpus-curation use: rebalance language/source composition
+    * without a groupBy (a per-group COUNT would need a full pass;
+    * rates are policy, not data).
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "strat"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    def thresh(r: Double): Long = (r * (1L << 60).toDouble).toLong
+    val h = conv(substring(
+      sha2(concat(lit(salt), lit("|"), col(idCol).cast("string")), 256),
+      1, 15), 16, 10).cast("long")
+    val t = rates.toSeq.sortBy(_._1).foldLeft(lit(thresh(defaultRate))) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(thresh(r))).otherwise(acc)
+    }
+    docs.filter(h < t)
+  }
+
+  /** Corpus composition rollup: (group, subgroup) grouping sets with
+    * doc counts and a summed weight — the one-pass corpus census
+    * (GROUP BY ROLLUP; Spark plans a single Expand + hash aggregate,
+    * map-side combined, so the 100 TB census is one shuffle of
+    * (lang, source, partial) rows). Rollup NULLs are coalesced to
+    * '<all>' so the total rows are distinguishable from genuine nulls
+    * and the comparator sees identical keys from both engines. The
+    * weight sum is emitted as DOUBLE (aggregated bigints arrive as
+    * nullable ints, which the comparator's pandas layer would coerce
+    * asymmetrically).
+    */
+  def compositionRollup(docs: DataFrame, groupCol: String, subCol: String,
+      weightCol: String): DataFrame =
+    docs.rollup(col(groupCol), col(subCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("double").as("total_weight"))
+      .select(
+        coalesce(col(groupCol), lit("<all>")).as(groupCol),
+        coalesce(col(subCol), lit("<all>")).as(subCol),
+        col("n_docs"), col("total_weight"))
+
   /** Top-k distinctive terms per document — the TF-IDF shape with a
     * RATIONAL idf: score = tf / df (idf = 1/df instead of ln(N/df) —
     * order-equivalent per fixed tf, and an exact IEEE double division

@@ -98,6 +98,43 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == ((4L, 0.0, 0.0, 0)))
   }
 
+  test("stratifiedSample: per-group rates honored, deterministic, subset semantics") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = Corpus.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("a" -> 0.5, "b" -> 0.1)).as[(Long, String)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // sha-threshold sampling: expected 500 a's, 100 b's, binomial spread
+    assert(math.abs(byLang("a") - 500) < 100, byLang.toString)
+    assert(math.abs(byLang("b") - 100) < 50, byLang.toString)
+    // repeatable and a rate-0 group drops out entirely
+    val again = Corpus.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("a" -> 0.5, "b" -> 0.1)).as[(Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val zeroB = Corpus.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("a" -> 0.5)).as[(Long, String)].collect()
+    assert(zeroB.forall(_._2 == "a"))
+    // same salt+rate keeps the identical id set per group (subset of
+    // the two-group run)
+    assert(zeroB.map(_._1).toSet == got.filter(_._2 == "a").map(_._1).toSet)
+  }
+
+  test("compositionRollup = per-group, per-pair and grand-total census") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "web", 10L), ("en", "web", 20L), ("en", "pdf", 5L),
+      ("de", "web", 7L)).zipWithIndex
+      .map { case ((l, s, w), i) => (i.toLong, l, s, w) }
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Corpus.compositionRollup(docs, "lang", "source", "n_chars")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("en", "web", 2L, 30.0), ("en", "pdf", 1L, 5.0), ("de", "web", 1L, 7.0),
+      ("en", "<all>", 3L, 35.0), ("de", "<all>", 1L, 7.0),
+      ("<all>", "<all>", 4L, 42.0)))
+  }
+
   test("distinctiveTerms = naive tf/df ranking") {
     import spark.implicits._
     val docs = Seq(

@@ -404,4 +404,39 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       threshold = 0.1, maxDf = 3) // df("aa bb cc") = 4 > 3 → dropped
     assert(capped.count() == 0)
   }
+
+  test("repetition_stats: line stats stay below the Generate (once per doc, not per gram)") {
+    val p = plan(SparkEntry.queries("repetition_stats")(spark, sf))
+    // the explode must consume the STAGED gram-array column, not
+    // recompute the kernel — and the line expressions must not appear
+    // in any projection above the Generate (the regression this test
+    // pins: selected alongside explode, the analyzer rebuilds them
+    // above, re-evaluating split/array_distinct per 2-gram row)
+    assert(p.contains("explode(gs"), p)
+    val aboveGenerate = p.split("Generate").head
+    assert(!aboveGenerate.contains("array_distinct"), p)
+  }
+
+  test("distinctive_terms: rank pushes down as WindowGroupLimit; df side broadcasts") {
+    val p = plan(SparkEntry.queries("distinctive_terms")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p) // partial top-k before the exchange
+    assert(p.contains("BroadcastHashJoin"), p) // vocabulary-sized df frame
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_ivfpq: compressed-domain shortlist then bounded exact refine, both TakeOrdered") {
+    val p = plan(SparkEntry.queries("ann_ivfpq")(spark, sf))
+    // two stacked TakeOrdered (tree + details sections → 4 mentions):
+    // ADC shortlist (k·refine = 40) then refined top-k (10)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 4, p)
+    assert(p.contains("Arguments: 40,"), p) // ADC shortlist (k·refine)
+    assert(p.contains("Arguments: 10,"), p) // refined top-k
+    assert(!p.contains("Exchange"), p) // single narrow pass, no shuffle
+  }
+
+  test("corpus_rollup plans one Expand + hash aggregate (no per-set scans)") {
+    val p = plan(SparkEntry.queries("corpus_rollup")(spark, sf))
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Union"), p) // grouping sets, not unioned scans
+  }
 }
