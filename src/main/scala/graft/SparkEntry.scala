@@ -185,16 +185,17 @@ object SparkEntry {
         e.filter(AnnIvf.cellCol(col("embedding"), cents).isin(probes: _*)),
         qv, k = 10).select("vec_id", "score")
     }),
-    // PQ codes per vector (m=8 subspaces × 16 centroids), comma-joined
-    // for the comparator — gates the trained codebooks + native encode
-    // kernel over every row
+    // PQ codes per vector (AnnPq.M subspaces × AnnPq.Ks centroids),
+    // comma-joined for the comparator — gates the trained codebooks +
+    // native encode kernel over every row. The array<int>→array<string>
+    // is a native Cast (codegen), not a per-element HOF transform
     "pq_encode" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val cbs = AnnPq.codebooks(e)
       Queries.lastPq = Some(cbs)
       e.select(col("vec_id"),
-        array_join(transform(AnnPq.encodeCol(col("embedding"), cbs),
-          c => c.cast("string")), ",").as("codes"))
+        array_join(AnnPq.encodeCol(col("embedding"), cbs)
+          .cast("array<string>"), ",").as("codes"))
     }),
     // IVF coarse probe + PQ asymmetric-distance rank — the compressed-
     // domain scan (codes + LUT adds, no vector arithmetic per row)
@@ -934,22 +935,26 @@ object OracleSql {
          |FROM scored WHERE common / (na + nb - common)::DOUBLE >= 0.5""".stripMargin),
     "lang_id" -> langIdSql,
     "quality_score" -> qualitySql,
-    // same 60-bit sha-threshold as TextOps.sampleHash, rate 0.25
+    // same 60-bit sha-threshold basis as TextOps.sampleHash (the hash
+    // and threshold come from the one shared definition)
     "sample_hash" ->
       (s"SELECT doc_id FROM documents WHERE " +
-        s"CAST('0x'||substr(sha256('sample|'||doc_id),1,15) AS BIGINT) < " +
-        s"${(0.25 * (1L << 60).toDouble).toLong}"),
+        s"${TextOps.sqlSampleHash60("sample", "doc_id")} < " +
+        s"${TextOps.hashThreshold60(0.25)}"),
     // per-group thresholds are the same precomputed longs as
     // Corpus.stratifiedSample's CASE column
     "sample_stratified" -> {
-      def t(r: Double) = (r * (1L << 60).toDouble).toLong
+      def t(r: Double) = TextOps.hashThreshold60(r)
       s"""SELECT doc_id, lang FROM documents
-         |WHERE CAST('0x'||substr(sha256('strat|'||doc_id),1,15) AS BIGINT) <
+         |WHERE ${TextOps.sqlSampleHash60("strat", "doc_id")} <
          |  CASE WHEN lang = 'de' THEN ${t(0.25)} WHEN lang = 'en' THEN ${t(0.5)}
          |       WHEN lang = 'fr' THEN ${t(0.1)} ELSE ${t(0.05)} END""".stripMargin
     },
+    // GROUPING() labels subtotal rows — coalesce alone would collide
+    // them with detail rows whose group value is genuinely NULL
     "corpus_rollup" ->
-      ("""SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+      ("""SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE coalesce(lang, '<null>') END AS lang,
+         |  CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE coalesce(source, '<null>') END AS source,
          |  count(*) AS n_docs, sum(n_chars)::DOUBLE AS total_weight
          |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin),
     // lower median by rank pick — integer division on both sides

@@ -60,7 +60,11 @@ object Corpus {
     *     (count fraction; Gopher's char-fraction variant differs only
     *     by a length weight).
     *   - repetitive: 1 iff dup_line_frac > 0.3 or top_bigram_frac
-    *     > 0.2 (Gopher-ish thresholds).
+    *     > 0.2 (Gopher-ish thresholds) — applied only to documents
+    *     with at least [[MinRepetitionGrams]] 2-gram occurrences
+    *     (≈ Gopher's 50-word minimum): below that, top_bigram_frac is
+    *     ≥ 1/n_grams by pigeonhole even for fully unique text, so
+    *     every short document would be wholesale flagged.
     *
     * Scale shape: line stats are a pure map-side projection. The
     * 2-gram mode is the one genuinely distributional part — counted
@@ -73,6 +77,11 @@ object Corpus {
     * 60-bit kernel — identically on the DuckDB side, so a 2^-60
     * collision (merging two gram counts) would be mirrored exactly.
     */
+  /** minimum 2-gram occurrences (= words − 1) before the repetitive
+    * thresholds apply — the Gopher-style short-document guard
+    */
+  val MinRepetitionGrams = 49
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = filter(
       transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
@@ -110,7 +119,8 @@ object Corpus {
       col("doc_id"),
       dupFrac.as("dup_line_frac"),
       topFrac.as("top_bigram_frac"),
-      when(dupFrac > 0.3 || topFrac > 0.2, 1).otherwise(0).as("repetitive"))
+      when(col("n_grams") >= MinRepetitionGrams &&
+        (dupFrac > 0.3 || topFrac > 0.2), 1).otherwise(0).as("repetitive"))
   }
 
   /** Stratified deterministic sampling: per-group keep rates over the
@@ -126,38 +136,41 @@ object Corpus {
   def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "strat"): DataFrame = {
-    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
-      s"rates must be in [0,1]: $rates default=$defaultRate")
-    def thresh(r: Double): Long = (r * (1L << 60).toDouble).toLong
-    val h = conv(substring(
-      sha2(concat(lit(salt), lit("|"), col(idCol).cast("string")), 256),
-      1, 15), 16, 10).cast("long")
-    val t = rates.toSeq.sortBy(_._1).foldLeft(lit(thresh(defaultRate))) {
-      case (acc, (g, r)) => when(col(groupCol) === g, lit(thresh(r))).otherwise(acc)
-    }
-    docs.filter(h < t)
+    val t = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(TextOps.hashThreshold60(defaultRate))) {
+        case (acc, (g, r)) =>
+          when(col(groupCol) === g, lit(TextOps.hashThreshold60(r))).otherwise(acc)
+      }
+    docs.filter(TextOps.sampleHash60(col(idCol), salt) < t)
   }
 
   /** Corpus composition rollup: (group, subgroup) grouping sets with
     * doc counts and a summed weight — the one-pass corpus census
     * (GROUP BY ROLLUP; Spark plans a single Expand + hash aggregate,
     * map-side combined, so the 100 TB census is one shuffle of
-    * (lang, source, partial) rows). Rollup NULLs are coalesced to
-    * '<all>' so the total rows are distinguishable from genuine nulls
-    * and the comparator sees identical keys from both engines. The
-    * weight sum is emitted as DOUBLE (aggregated bigints arrive as
-    * nullable ints, which the comparator's pandas layer would coerce
-    * asymmetrically).
+    * (lang, source, partial) rows). Subtotal rows are labeled '<all>'
+    * via grouping() — NOT coalesce, which would collide them with
+    * detail rows whose group value is genuinely NULL; genuine NULLs
+    * are labeled '<null>'. The weight sum is emitted as DOUBLE
+    * (aggregated bigints arrive as nullable ints, which the
+    * comparator's pandas layer would coerce asymmetrically).
     */
   def compositionRollup(docs: DataFrame, groupCol: String, subCol: String,
-      weightCol: String): DataFrame =
+      weightCol: String): DataFrame = {
+    // grouping() is only resolvable inside the Aggregate's own
+    // expression list, so the labels are emitted by agg(), not a
+    // downstream projection
+    def label(c: String) =
+      when(grouping(col(c)) === 1, "<all>")
+        .otherwise(coalesce(col(c), lit("<null>"))).as(s"${c}_label")
     docs.rollup(col(groupCol), col(subCol))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(label(groupCol), label(subCol),
+        count(lit(1)).as("n_docs"),
         sum(col(weightCol)).cast("double").as("total_weight"))
-      .select(
-        coalesce(col(groupCol), lit("<all>")).as(groupCol),
-        coalesce(col(subCol), lit("<all>")).as(subCol),
+      .select(col(s"${groupCol}_label").as(groupCol),
+        col(s"${subCol}_label").as(subCol),
         col("n_docs"), col("total_weight"))
+  }
 
   /** Top-k distinctive terms per document — the TF-IDF shape with a
     * RATIONAL idf: score = tf / df (idf = 1/df instead of ln(N/df) —

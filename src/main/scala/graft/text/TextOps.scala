@@ -84,14 +84,28 @@ object TextOps {
     * only, no shuffle.
     */
   def sampleHash(docs: DataFrame, idCol: String, rate: Double,
-      salt: String = "sample"): DataFrame = {
-    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    val threshold = (rate * (1L << 60).toDouble).toLong
-    val h = conv(substring(
-      sha2(concat(lit(salt), lit("|"), col(idCol).cast("string")), 256),
+      salt: String = "sample"): DataFrame =
+    docs.filter(sampleHash60(col(idCol), salt) < hashThreshold60(rate))
+
+  /** the 60-bit sampling hash of (salt|id) — the ONE definition shared
+    * by sampleHash, Corpus.stratifiedSample, and (via [[sqlSampleHash60]])
+    * their DuckDB oracles, so the sampling contract cannot drift
+    * between call sites.
+    */
+  def sampleHash60(id: Column, salt: String): Column =
+    conv(substring(
+      sha2(concat(lit(salt), lit("|"), id.cast("string")), 256),
       1, 15), 16, 10).cast("long")
-    docs.filter(h < threshold)
+
+  /** keep-rate → 60-bit threshold (keep iff hash < threshold) */
+  def hashThreshold60(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (rate * (1L << 60).toDouble).toLong
   }
+
+  /** DuckDB twin of [[sampleHash60]] over a SQL id expression */
+  def sqlSampleHash60(salt: String, idExpr: String): String =
+    s"CAST('0x'||substr(sha256('$salt|'||$idExpr),1,15) AS BIGINT)"
 
   /** Group-wise top-k: the k best rows per group by (scoreCol desc,
     * idCol asc). A rank window over one exchange by group key — NOT a

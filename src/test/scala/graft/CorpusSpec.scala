@@ -80,22 +80,30 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
-  test("repetitionStats: hand-computed fractions, empty and gram-less docs kept") {
+  test("repetitionStats: hand-computed fractions; short docs never flagged, long repeats are") {
     import spark.implicits._
+    val longRep = Array.fill(60)("x y").mkString(" ") // 120 words, 119 grams
+    val longOk = (1 to 120).map(i => s"w$i").mkString(" ") // all distinct
     val docs = Seq(
       // 4 non-empty lines, 1 distinct -> dup (4-1)/4 = 0.75; bigrams of
-      // words a b a b a b a b -> 7 bigrams, top "a b" x4 -> 4/7
+      // words a b a b a b a b -> 7 bigrams, top "a b" x4 -> 4/7; only
+      // 7 grams < MinRepetitionGrams, so the flag stays 0 (short doc)
       (1L, "a b\na b\n\na b\na b"),
-      // no duplicate lines, all bigrams distinct -> top 1/3
+      // no duplicate lines, all bigrams distinct -> top 1/3, and NOT
+      // repetitive (the pigeonhole trap the length guard exists for)
       (2L, "one two\nthree four"),
       (3L, ""), // no lines, no grams
-      (4L, "single")) // 1 line, no bigrams
+      (4L, "single"), // 1 line, no bigrams
+      (5L, longRep), // "x y" x60 -> top 60/119 > 0.2, above the guard
+      (6L, longOk)) // long and fully distinct -> top 1/119, not flagged
     val got = Corpus.repetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text")
       .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
-    assert(got(0) == ((1L, 0.75, 4.0 / 7.0, 1)))
-    assert(got(1) == ((2L, 0.0, 1.0 / 3.0, 1)))
+    assert(got(0) == ((1L, 0.75, 4.0 / 7.0, 0)))
+    assert(got(1) == ((2L, 0.0, 1.0 / 3.0, 0)))
     assert(got(2) == ((3L, 0.0, 0.0, 0)))
     assert(got(3) == ((4L, 0.0, 0.0, 0)))
+    assert(got(4) == ((5L, 0.0, 60.0 / 119.0, 1)))
+    assert(got(5) == ((6L, 0.0, 1.0 / 119.0, 0)))
   }
 
   test("stratifiedSample: per-group rates honored, deterministic, subset semantics") {
@@ -120,19 +128,21 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zeroB.map(_._1).toSet == got.filter(_._2 == "a").map(_._1).toSet)
   }
 
-  test("compositionRollup = per-group, per-pair and grand-total census") {
+  test("compositionRollup: census rows; genuine NULLs do not collide with subtotals") {
     import spark.implicits._
     val docs = Seq(
-      ("en", "web", 10L), ("en", "web", 20L), ("en", "pdf", 5L),
-      ("de", "web", 7L)).zipWithIndex
-      .map { case ((l, s, w), i) => (i.toLong, l, s, w) }
+      (0L, "en", Some("web"), 10L), (1L, "en", Some("web"), 20L),
+      (2L, "en", Some("pdf"), 5L), (3L, "de", Some("web"), 7L),
+      (4L, "en", None, 2L)) // genuine NULL source
       .toDF("doc_id", "lang", "source", "n_chars")
     val got = Corpus.compositionRollup(docs, "lang", "source", "n_chars")
       .as[(String, String, Long, Double)].collect().toSet
     assert(got == Set(
       ("en", "web", 2L, 30.0), ("en", "pdf", 1L, 5.0), ("de", "web", 1L, 7.0),
-      ("en", "<all>", 3L, 35.0), ("de", "<all>", 1L, 7.0),
-      ("<all>", "<all>", 4L, 42.0)))
+      ("en", "<null>", 1L, 2.0), // detail row for the NULL source...
+      ("en", "<all>", 4L, 37.0), // ...distinct from en's subtotal
+      ("de", "<all>", 1L, 7.0),
+      ("<all>", "<all>", 5L, 44.0)))
   }
 
   test("distinctiveTerms = naive tf/df ranking") {
