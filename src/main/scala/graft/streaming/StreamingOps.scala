@@ -80,6 +80,34 @@ object StreamingOps {
         col("w.end").as("session_end"), col("n_events"), col("value_micros"))
   }
 
+  /** Streaming decontamination — the stream-static join pattern: docs
+    * arrive as a stream, the benchmark n-gram hash set is a STATIC
+    * (bounded) frame joined per micro-batch. Spark broadcasts the
+    * static side into every batch, so the check stays the same
+    * map-side hash probe as the batch twin (`Corpus.decontaminate`).
+    * The per-doc hit count is an unwatermarked streaming aggregate
+    * (doc_id keys never expire — contamination is corpus-lifetime
+    * state), so the sink runs in complete/update mode; its state is
+    * O(contaminated docs), each row two longs. Output: (doc_id,
+    * n_hits) per contaminated streamed doc — batch-equality asserted
+    * in StreamingSpec.
+    */
+  def decontaminateStream(spark: SparkSession, docsDir: String,
+      bench: DataFrame, n: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val benchGrams = bench
+      .select(explode(graft.text.TextExprs.shingleHashes(
+        col("text"), distinct = true, n)).as("g"))
+      .distinct()
+    spark.readStream.schema(schema).parquet(docsDir)
+      .select(col("doc_id"),
+        explode(graft.text.TextExprs.shingleHashes(
+          col("text"), distinct = true, n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** streaming exact dedup — first-seen row per content digest wins,
     * later duplicates are dropped across micro-batches. Custom keyed
     * state via `flatMapGroupsWithState` (the state store holds ONE

@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-static decontamination matches the batch twin, incl. a late batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decon_in").toString
+    def doc(i: Long) =
+      if (i % 3 == 0) s"alpha beta gamma delta shared tail $i"
+      else s"completely unique content number $i with no overlap at all $i"
+    (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val bench = Seq((1000L, "alpha beta gamma delta shared"))
+      .toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("decon_ck").toString
+    val q = StreamingOps.decontaminateStream(spark, dir, bench, n = 4)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("decon").start()
+    q.processAllAvailable()
+    // a later micro-batch adds more docs; the running counts must
+    // converge to the batch answer over the union
+    (30L until 45L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT doc_id, n_hits FROM decon")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.text.Corpus.decontaminate(
+      spark.read.parquet(dir), bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall { case (id, _) => id % 3 == 0 })
+  }
+
   test("stateful streaming dedup: first-seen per digest, matches batch exact dedup") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dedup_in").toString
