@@ -1020,7 +1020,7 @@ object OracleSql {
          |  CASE WHEN dup_line_frac > 0.3 OR top_bigram_frac > 0.2 THEN 1 ELSE 0 END AS repetitive
          |FROM fr""".stripMargin),
     "distinctive_terms" ->
-      (s"""WITH t AS (SELECT doc_id, unnest(list_transform($sqlWords, w -> lower(w))) AS term FROM documents),
+      (s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |r AS (SELECT doc_id, term, tf, df, tf::DOUBLE / df AS score,

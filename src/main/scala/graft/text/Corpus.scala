@@ -191,10 +191,13 @@ object Corpus {
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lower BEFORE extracting: identical terms (the word regex matches
+    // both cases, so token boundaries are unchanged), but lower(text)
+    // and regexp_extract_all are codegen expressions while
+    // transform(words, lower) is an interpreted per-element HOF
     val tf = docs
       .select(col(idCol).as("doc_id"),
-        explode(transform(Dedup.wordsCol(col(textCol)), w => lower(w)))
-          .as("term"))
+        explode(Dedup.wordsCol(lower(col(textCol)))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -55,6 +55,31 @@ object TextKernels {
     v >>> 4
   }
 
+  /** one pass over the words: count, summed lengths, and per-list
+    * lowercase membership hits — the kernel behind [[WordStats]].
+    * Returns an InternalRow(n_words: Int, sum_word_len: Long,
+    * hits: ArrayData[Int]).
+    */
+  def wordStats(text: UTF8String,
+      sets: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val w = words(if (text == null) "" else text.toString)
+    var sumLen = 0L
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < w.length) {
+      sumLen += w(i).length
+      val lw = w(i).toLowerCase(java.util.Locale.ROOT)
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(lw)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      w.length, sumLen, ArrayData.toArrayData(hits))
+  }
+
   /** 60-bit hashes of the word n-shingles (optionally of the distinct
     * shingle STRINGS — distinct is taken before hashing, mirroring the
     * oracle's `list_distinct` on strings). Empty below n words.
@@ -152,6 +177,51 @@ object TextKernels {
   }
 }
 
+/** text → struct(n_words, sum_word_len, hits: array<int>) in one
+  * native pass — the word-level stats the quality/language operators
+  * need. The composed Column forms (`aggregate` length fold for mean
+  * word length, `filter`+`isInCollection` per stopword list) are
+  * interpreted HOFs and dominated the score-consuming queries
+  * (group_median/quality_filter ≈ 1.2 s at sf0.1, ~6× the pruned
+  * projection). hits(i) counts LOWERCASED words contained in lists(i)
+  * — identical values to TextOps.hits.
+  */
+case class WordStats(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    lists: Seq[Seq[String]]) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireString(prettyName, child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lists.map { l =>
+      val s = new java.util.HashSet[String]()
+      l.foreach(s.add)
+      s
+    }.toArray
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.wordStats(s.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("wordStatsSets", sets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.sql.catalyst.InternalRow) graft.text.TextKernels$$.MODULE$$.wordStats($a, $setsRef)")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
 /** text → array<long> of 60-bit word n-shingle hashes (native
   * one-pass; n = shingle width in words).
   */
@@ -237,6 +307,9 @@ object TextExprs {
 
   def shingleHashes(text: Column, distinct: Boolean, n: Int = 3): Column =
     toColumn(ShingleHashes(toExpression(text), distinct, n))
+
+  def wordStats(text: Column, lists: Seq[Seq[String]]): Column =
+    toColumn(WordStats(toExpression(text), lists))
 
   def minhashSig(text: Column): Column =
     toColumn(MinHashSig(toExpression(text)))

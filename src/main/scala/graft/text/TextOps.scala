@@ -26,15 +26,23 @@ object TextOps {
     transform(regexp_extract_all(text, lit(Dedup.WordRegex), lit(0)),
       w => lower(w))
 
+  /** composed-HOF form, kept as the spec reference for the native
+    * kernel (TextExprsSpec asserts equality); hot paths use
+    * [[TextExprs.wordStats]]
+    */
   def hits(text: Column, list: Seq[String]): Column =
     size(filter(words(text), w => w.isInCollection(list)))
 
-  /** argmax over stopword hits with fixed tie order. */
+  /** argmax over stopword hits with fixed tie order. All four lists
+    * are counted by ONE native kernel pass (the per-list HOF chain is
+    * interpreted and scanned the words 4×).
+    */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val withHits = docs.select(
-      Seq(col(idCol)) ++ Stopwords.map { case (lang, list) =>
-        hits(t, list).as(s"${lang}_hits")
+    val st = TextExprs.wordStats(col(textCol), Stopwords.map(_._2))
+    val withHits = docs
+      .select(Seq(col(idCol)) :+ st.getField("hits").as("__hits"): _*)
+      .select(Seq(col(idCol)) ++ Stopwords.zipWithIndex.map {
+        case ((lang, _), i) => element_at(col("__hits"), i + 1).as(s"${lang}_hits")
       }: _*)
     val Seq(en, de, fr, es) = Stopwords.map(s => col(s"${s._1}_hits"))
     withHits.withColumn("lang_pred",
@@ -53,16 +61,20 @@ object TextOps {
       keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    val nTokens = size(regexp_extract_all(t, lit(Tokenizer.TokenRegex), lit(0)))
-    val nWords = size(regexp_extract_all(t, lit(Dedup.WordRegex), lit(0)))
-    val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
-    val stopHits = hits(t, Stopwords.head._2)
+    // regexp_count, not size(regexp_extract_all): same number, but no
+    // per-row match-array materialization just to take its length
+    val nTokens = regexp_count(t, lit(Tokenizer.TokenRegex))
+    val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]"))
+    // word count, summed lengths and stopword hits in ONE native pass
+    // (the HOF forms were interpreted and cost ~6× the whole remaining
+    // projection once a downstream op actually consumed the score)
+    val st = TextExprs.wordStats(t, Seq(Stopwords.head._2))
+    val nWords = st.getField("n_words")
+    val stopHits = element_at(st.getField("hits"), 1)
     val punctRatio = nPunct / greatest(nChars, lit(1)).cast("double")
     val stopRatio = stopHits / greatest(nWords, lit(1)).cast("double")
     val meanWordLen =
-      aggregate(regexp_extract_all(t, lit(Dedup.WordRegex), lit(0)),
-        lit(0L), (acc, w) => acc + length(w)) /
-        greatest(nWords, lit(1)).cast("double")
+      st.getField("sum_word_len") / greatest(nWords, lit(1)).cast("double")
     docs.select(Seq(col(idCol)) ++ keepCols.map(col) ++ Seq(
       nChars.as("n_chars"), nTokens.as("n_tokens"),
       punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),

@@ -204,6 +204,28 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native wordStats kernel equals the HOF forms (count, lengths, per-list hits)") {
+    import graft.text.{TextExprs, TextOps}
+    val texts = Seq("", "The quick brown fox", "der und the la les y es",
+      "ABC def GHI 42 the THE tHe", "punct, only; !!")
+    val lists = TextOps.Stopwords.map(_._2)
+    val st = TextExprs.wordStats(col("text"), lists)
+    import spark.implicits._
+    val rows = texts.toDF("text").select(
+      st.getField("n_words"),
+      size(regexp_extract_all(col("text"), lit(Dedup.WordRegex), lit(0))),
+      st.getField("sum_word_len"),
+      aggregate(regexp_extract_all(col("text"), lit(Dedup.WordRegex), lit(0)),
+        lit(0L), (acc, w) => acc + length(w)),
+      st.getField("hits"),
+      array(lists.map(l => TextOps.hits(col("text"), l)): _*)).collect()
+    texts.zip(rows).foreach { case (t, r) =>
+      assert(r.getInt(0) == r.getInt(1), s"n_words: '$t'")
+      assert(r.getLong(2) == r.getLong(3), s"sum_word_len: '$t'")
+      assert(r.getSeq[Int](4) == r.getSeq[Int](5), s"hits: '$t'")
+    }
+  }
+
   test("minhash signature is null below 3 words, populated at 3+") {
     import spark.implicits._
     val rows = Seq("one two", "", "one two three four")
