@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.rag.{DotProduct, HashEmbed, HashEmbedder, L2Normalize}
-import graft.text.{MinHashSig, ShingleHashes, SimHash60}
+import graft.text.{MinHashSig, ShingleHashes, SimHash60, TextOps, WordStats}
 
 /** SparkSessionExtensions hook: exposes the engine's custom Catalyst
   * expression in SQL, so the library's operators compose with plain
@@ -64,7 +64,11 @@ object GraftExtensions {
     ("shingle_hashes", classOf[ShingleHashes],
       checked("shingle_hashes", 1)(c => ShingleHashes(c(0), distinct = false))),
     ("shingle_hashes_distinct", classOf[ShingleHashes],
-      checked("shingle_hashes_distinct", 1)(c => ShingleHashes(c(0), distinct = true))))
+      checked("shingle_hashes_distinct", 1)(c => ShingleHashes(c(0), distinct = true))),
+    // struct(n_words, sum_word_len, hits[]) with the engine's standard
+    // per-language stopword lists
+    ("word_stats", classOf[WordStats],
+      checked("word_stats", 1)(c => WordStats(c(0), TextOps.Stopwords.map(_._2)))))
 
   /** register on an already-built session */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -236,6 +236,13 @@ object SparkEntry {
         TextOps.qualityScore(docs(s, dir), "doc_id", "text", keepCols = Seq("lang"))
           .select("doc_id", "lang", "quality"),
         "lang", "quality", "doc_id")),
+    // exact per-language quality quartiles (rank pick, one window pass
+    // for all three)
+    "group_percentiles" -> ((s, dir) =>
+      TextOps.groupPercentilesExact(
+        TextOps.qualityScore(docs(s, dir), "doc_id", "text", keepCols = Seq("lang"))
+          .select("doc_id", "lang", "quality"),
+        "lang", "quality", "doc_id")),
     // adaptive curation: keep docs at/above their language's median
     "quality_filter" -> ((s, dir) =>
       TextOps.aboveGroupMedian(
@@ -966,6 +973,17 @@ object OracleSql {
          |    count(*) OVER (PARTITION BY d.lang) AS n
          |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
          |WHERE rn = (n + 1) // 2""".stripMargin),
+    // rank-pick quartiles: rank = max(1, floor(q*(n+1))); q=0.5
+    // reproduces the lower-median pick exactly
+    "group_percentiles" ->
+      (s"""WITH qual AS ($qualitySql),
+         |r AS (SELECT d.lang, q.quality,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality, q.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+         |SELECT lang, q, quality AS value
+         |FROM r, (SELECT unnest([0.25e0, 0.5e0, 0.75e0]) AS q)
+         |WHERE rn = greatest(1, floor(q * (n + 1))::BIGINT)""".stripMargin),
     "quality_filter" ->
       (s"""WITH qual AS ($qualitySql),
          |j AS (SELECT d.lang, q.doc_id, q.quality
@@ -998,10 +1016,13 @@ object OracleSql {
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' ')))) AS s
          |  FROM w WHERE len(ws) >= 4),
          |gh AS (SELECT doc_id, ${sqlHash("s")} AS g FROM g),
-         |bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 20 = 0)
-         |SELECT doc_id, count(*) AS n_hits
-         |FROM gh SEMI JOIN bench USING (g)
-         |WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin),
+         |bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 20 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM gh GROUP BY 1),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |  FROM gh SEMI JOIN bench USING (g)
+         |  WHERE doc_id % 20 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_hits, n_grams, n_hits::DOUBLE / n_grams AS hit_frac
+         |FROM hits JOIN sizes USING (doc_id)""".stripMargin),
     "repetition_stats" ->
       (s"""WITH base AS (SELECT doc_id,
          |    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS lines,

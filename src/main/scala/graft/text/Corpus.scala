@@ -22,9 +22,12 @@ object Corpus {
     * standard guard against test-set leakage into training data (the
     * GPT-3 appendix-C / PaLM n-gram overlap check).
     *
-    * Returns (doc_id, n_hits): one row per CONTAMINATED training doc,
-    * n_hits = number of DISTINCT n-grams of that doc that appear
-    * anywhere in the benchmark.
+    * Returns (doc_id, n_hits, n_grams, hit_frac): one row per
+    * CONTAMINATED training doc, n_hits = number of DISTINCT n-grams of
+    * that doc that appear anywhere in the benchmark, n_grams = the
+    * doc's distinct n-gram count, hit_frac = n_hits/n_grams (the
+    * overlap fraction most decontamination policies threshold on,
+    * rather than any-hit).
     *
     * Scale shape (100 TB train, benchmark ≪ train — benchmarks are
     * MBs): the benchmark's distinct n-gram hash set is aggregated
@@ -42,13 +45,18 @@ object Corpus {
       .select(explode(TextExprs.shingleHashes(col(textCol), distinct = true, n))
         .as("g"))
       .distinct()
-    train
-      .select(col(idCol).as("doc_id"),
-        explode(TextExprs.shingleHashes(col(textCol), distinct = true, n))
-          .as("g"))
+    // gram array staged below the explode (the repetitionStats lesson:
+    // size() selected beside explode would re-run the kernel per gram)
+    val staged = train.select(col(idCol).as("doc_id"),
+      TextExprs.shingleHashes(col(textCol), distinct = true, n).as("gs"))
+    staged
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"), min("n_grams").as("n_grams"))
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
   }
 
   /** Repetition quality signals per document (Gopher §A1.1 shape):

@@ -158,6 +158,30 @@ object TextOps {
       .select(col(groupCol), col(valueCol).as("median_value"))
   }
 
+  /** Exact per-group quantiles by RANK PICK, generalizing
+    * [[groupMedianExact]]: for each q the element at rank
+    * max(1, ⌊q·(n+1)⌋) — q = 0.5 reproduces the lower median exactly
+    * ((n+1)/2 integer division), and every reported value is an actual
+    * group element, so engines that sort the same doubles pick the
+    * bit-identical one. One exchange + one per-group sort for ALL
+    * quantiles (the quantile fan-out explodes the tiny ranked frame,
+    * not the input). At 100 TB switch to approx_percentile and accept
+    * the sketch's error bound.
+    */
+  def groupPercentilesExact(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val w = byGroup.orderBy(col(valueCol), col(idCol))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__gp_rn", row_number().over(w))
+      .withColumn("__gp_n", count(lit(1)).over(byGroup))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("__gp_rn") ===
+        greatest(lit(1L), floor(col("q") * (col("__gp_n") + 1)).cast("long")))
+      .select(col(groupCol), col("q"), col(valueCol).as("value"))
+  }
+
   /** Adaptive per-group threshold filter — the corpus-curation shape
     * (keep documents at or above their OWN group's median score, so a
     * low-resource language is not graded against English's

@@ -59,11 +59,15 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Corpus.decontaminate(
       train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
       "doc_id", "text", n = 4)
-      .as[(Long, Long)].collect().toMap
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     val benchSet = bench.map(_._2).flatMap(t => ngrams(t, 4)).toSet
-    val want = train.map { case (id, t) => id -> ngrams(t, 4).count(benchSet) }
-      .filter(_._2 > 0).toMap
-    assert(got == want.map { case (k, v) => (k, v.toLong) })
+    val want = train.map { case (id, t) =>
+      val gs = ngrams(t, 4)
+      val hits = gs.count(benchSet)
+      id -> ((hits.toLong, gs.size.toLong, hits.toDouble / gs.size))
+    }.filter(_._2._1 > 0).toMap
+    assert(got == want)
     assert(!got.contains(12L) && !got.contains(14L))
   }
 

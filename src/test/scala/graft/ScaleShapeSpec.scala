@@ -384,6 +384,26 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(2L, 3L, 4L, 5L, 7L))
   }
 
+  test("groupPercentilesExact = brute-force rank pick; q=0.5 equals the median op") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val rows = (0L until 37L).map(i => (i, s"g${i % 3}", (i * 7 % 11).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val got = TextOps.groupPercentilesExact(df, "g", "v", "id")
+      .as[(String, Double, Double)].collect().toSet
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1)).map(_._3)
+      Seq(0.25, 0.5, 0.75).map { q =>
+        val rank = math.max(1, math.floor(q * (sorted.size + 1)).toLong)
+        (g, q, sorted((rank - 1).toInt))
+      }
+    }.toSet
+    assert(got == want)
+    val med = TextOps.groupMedianExact(df, "g", "v", "id")
+      .as[(String, Double)].collect().toMap
+    got.filter(_._2 == 0.5).foreach { case (g, _, v) => assert(v == med(g)) }
+  }
+
   test("topPerGroup: k best per group, score desc, id tiebreak") {
     import spark.implicits._
     val df = Seq(("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0),

@@ -88,6 +88,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toSet
     val batch = graft.text.Corpus.decontaminate(
       spark.read.parquet(dir), bench, "doc_id", "text", n = 4)
+      .select("doc_id", "n_hits") // the streamed twin emits the hit counts
       .as[(Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.forall { case (id, _) => id % 3 == 0 })
