@@ -60,8 +60,13 @@ object SparkEntry {
     // doc, leaving K1/K3/K4 split logic invisible to the driver gate)
     "chunk_sections_multi" -> ((s, dir) =>
       ChunkOps.sections(Queries.headingDocs(docs(s, dir))).toDF()),
+    // bounded like chunk_tokens_multi (whole corpus at the oracle's
+    // sf0.01): the overflow-split gate is per-doc identical, and each
+    // fixture doc is ~800 synthetic tokens — unbounded, the query
+    // benchmarks fixture construction, not the boundary splitter
     "chunk_overflow_multi" -> ((s, dir) =>
-      ChunkOps.sections(Queries.overflowDocs(docs(s, dir))).toDF()),
+      ChunkOps.sections(Queries.overflowDocs(
+        docs(s, dir).filter(col("doc_id") < 500))).toDF()),
     // K2's stride/overlap path: 1200 fixed-width tokens → 3 overlapping
     // windows per doc with closed-form char offsets. The fixture is
     // bounded to the first 500 docs (the whole corpus at the oracle's
@@ -464,7 +469,7 @@ object SparkEntry {
       (s"""WITH base AS (SELECT doc_id,
          |    'a'||doc_id||' '||repeat('tok ', 400)||'one.' AS l1,
          |    'b'||doc_id||' '||repeat('tok ', 400)||'two.' AS l2,
-         |    'c'||doc_id||' short tail three.' AS l3 FROM documents),
+         |    'c'||doc_id||' short tail three.' AS l3 FROM documents WHERE doc_id < 500),
          |c AS (
          |  SELECT doc_id, 0 AS chunk_index, l1||chr(10)||l2 AS content,
          |    -1 AS start_char, 1 AS end_char FROM base
