@@ -21,7 +21,9 @@ object PlanAudit {
       "resume_pending", "dedup_minhash", "list_documents", "chunk_sections",
       "embed_neardup", "delete_document", "search_topk_filtered",
       "tpch_pricing", "tpch_top_orders", "tpch_region_stats", "ivf_assign",
-      "ngram_jaccard", "simhash_pairs", "sessionize", "asof_join")
+      "ngram_jaccard", "simhash_pairs", "sessionize", "asof_join",
+      "ann_ivfpq", "pq_encode", "decontaminate", "repetition_stats",
+      "distinctive_terms", "corpus_rollup", "group_percentiles")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
