@@ -283,6 +283,25 @@ object SparkEntry {
     // so the score is an exact IEEE division both engines share)
     "distinctive_terms" -> ((s, dir) =>
       Corpus.distinctiveTerms(docs(s, dir), "doc_id", "text", k = 3)),
+    // PII scrub over a fixture that plants one email + one phone per
+    // doc (the corpus has none — both engines build the same fixture)
+    "pii_redact" -> ((s, dir) =>
+      Corpus.redactPii(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0199")).as("text")),
+        "doc_id", "text")),
+    // CCNet-style chrome removal over a fixture that wraps every doc
+    // in a shared cookie banner + one of 3 footer variants
+    "boilerplate_lines" -> ((s, dir) =>
+      Corpus.removeBoilerplateLines(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("COOKIE NOTICE accept cookies\n"), col("text"),
+            lit("\nfooter sitemap "), (col("doc_id") % 3).cast("string"))
+            .as("text")),
+        "doc_id", "text", minDocs = 10)),
     // stratified per-language keep rates (policy map, pure map-side)
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(docs(s, dir), "doc_id", "lang",
@@ -962,6 +981,29 @@ object OracleSql {
          |  CASE WHEN lang = 'de' THEN ${t(0.25)} WHEN lang = 'en' THEN ${t(0.5)}
          |       WHEN lang = 'fr' THEN ${t(0.1)} ELSE ${t(0.05)} END""".stripMargin
     },
+    // DuckDB regexp_replace needs the 'g' flag (default = first match
+    // only, unlike Spark)
+    "pii_redact" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    text||' contact user'||doc_id||'@example.com or 555-'||lpad((doc_id % 1000)::VARCHAR, 3, '0')||'-0199' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${Corpus.EmailRegex}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${Corpus.PhoneRegex}')) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '[EMAIL]', 'g'), '${Corpus.PhoneRegex}', '[PHONE]', 'g') AS redacted
+         |FROM base""".stripMargin),
+    "boilerplate_lines" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    'COOKIE NOTICE accept cookies'||chr(10)||text||chr(10)||'footer sitemap '||(doc_id % 3) AS text
+         |  FROM documents),
+         |st AS (SELECT doc_id, list_filter(string_split(text, chr(10)), s -> s <> '') AS ls FROM base),
+         |hot AS (SELECT line FROM (SELECT doc_id, unnest(list_distinct(ls)) AS line FROM st)
+         |  GROUP BY line HAVING count(*) >= 10),
+         |h AS (SELECT coalesce(list(line), []) AS hl FROM hot)
+         |SELECT doc_id,
+         |  len(ls) - len(list_filter(ls, l -> NOT list_contains(hl, l))) AS n_removed,
+         |  array_to_string(list_filter(ls, l -> NOT list_contains(hl, l)), chr(10)) AS cleaned
+         |FROM st, h""".stripMargin),
     // GROUPING() labels subtotal rows — coalesce alone would collide
     // them with detail rows whose group value is genuinely NULL
     "corpus_rollup" ->

@@ -180,6 +180,71 @@ object Corpus {
         col("n_docs"), col("total_weight"))
   }
 
+  /** PII redaction (the scrubbing pass every published training
+    * pipeline runs before release): emails and NNN-NNN-NNNN phone
+    * numbers are replaced with typed placeholder tokens, with match
+    * counts per doc (counted on the ORIGINAL text, via regexp_count —
+    * no match-array materialization). Pure map-side codegen
+    * projection; the conservative patterns avoid constructs whose
+    * semantics differ between regex engines (no backreferences or
+    * lookaround — Java and RE2 agree on these classes), so the DuckDB
+    * oracle reproduces the redacted strings byte-for-byte.
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(t, lit(EmailRegex)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRegex)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, lit(EmailRegex), lit("[EMAIL]")),
+        lit(PhoneRegex), lit("[PHONE]")).as("redacted"))
+  }
+
+  /** Cross-document boilerplate line removal (the CCNet/Dolma shape):
+    * a line appearing verbatim in ≥ minDocs DISTINCT documents is
+    * chrome (cookie banners, footers, nav) and is dropped from every
+    * document; the per-document text is rebuilt from the surviving
+    * lines in order.
+    *
+    * Scale shape: the hot-line list is found by one combine-friendly
+    * aggregate over per-doc-distinct lines (shuffles (line, partial)
+    * rows, never documents), and is SMALL by construction — a line
+    * must repeat across ≥ minDocs docs to qualify, so |hot| ≤
+    * total-lines/minDocs and in practice is the site-chrome
+    * vocabulary. The removal pass is map-side: each doc's lines probe
+    * the hot set (here an inlined literal array; at 100 TB the same
+    * probe rides a broadcast hash set or bloom filter). `maxHotLines`
+    * guards the driver collect — exceeding it throws rather than
+    * silently degrading.
+    */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, maxHotLines: Int = 100000): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val staged = docs.select(col(idCol).as("doc_id"), lines.as("ls"))
+    val hotRows = staged
+      .select(explode(array_distinct(col("ls"))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("line")
+      .limit(maxHotLines + 1)
+      .collect()
+    require(hotRows.length <= maxHotLines,
+      s"hot-line set exceeds maxHotLines=$maxHotLines — raise the cap or minDocs")
+    val hot = typedLit(hotRows.map(_.getString(0)).toSeq.sorted)
+    // kept lines staged once (the repetitionStats lesson — selected
+    // twice in one projection, the filter would run per reference)
+    staged
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), l => !array_contains(hot, l)).as("kept"))
+      .select(col("doc_id"),
+        (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "\n").as("cleaned"))
+  }
+
   /** Top-k distinctive terms per document — the TF-IDF shape with a
     * RATIONAL idf: score = tf / df (idf = 1/df instead of ln(N/df) —
     * order-equivalent per fixed tf, and an exact IEEE double division

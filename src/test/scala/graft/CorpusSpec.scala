@@ -149,6 +149,47 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("<all>", "<all>", 5L, 44.0)))
   }
 
+  test("redactPii: emails and phones replaced with typed tokens, counts on original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@test-site.org and x@y.io call 555-123-4567 end"),
+      (2L, "no pii here at all"),
+      (3L, "digits 12-34-56 not a phone, a@b no tld"))
+    val got = Corpus.redactPii(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 1L, "mail [EMAIL] and [EMAIL] call [PHONE] end")))
+    assert(got(1) == ((2L, 0L, 0L, "no pii here at all")))
+    assert(got(2) == ((3L, 0L, 0L, "digits 12-34-56 not a phone, a@b no tld")))
+  }
+
+  test("removeBoilerplateLines: >=minDocs lines dropped everywhere, text rebuilt in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "BANNER\nunique one\nFOOTER"),
+      (2L, "BANNER\nunique two\nFOOTER"),
+      (3L, "BANNER\nunique three\nFOOTER\nBANNER"), // repeat within one doc counts once
+      (4L, "only unique content\nBANNER"))
+    val got = Corpus.removeBoilerplateLines(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minDocs = 3)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // BANNER in 4 docs, FOOTER in 3 -> both hot; uniques survive
+    assert(got(0) == ((1L, 2L, "unique one")))
+    assert(got(1) == ((2L, 2L, "unique two")))
+    assert(got(2) == ((3L, 3L, "unique three")))
+    assert(got(3) == ((4L, 1L, "only unique content")))
+    // below the threshold nothing is removed
+    val none = Corpus.removeBoilerplateLines(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minDocs = 5)
+      .as[(Long, Long, String)].collect()
+    assert(none.forall(_._2 == 0L))
+    // the driver-collect guard fires rather than degrading
+    val e = intercept[IllegalArgumentException] {
+      Corpus.removeBoilerplateLines(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minDocs = 3, maxHotLines = 1)
+    }
+    assert(e.getMessage.contains("maxHotLines"))
+  }
+
   test("distinctiveTerms = naive tf/df ranking") {
     import spark.implicits._
     val docs = Seq(
