@@ -1018,7 +1018,8 @@ object OracleSql {
          |  SELECT d.lang, q.quality AS median_value,
          |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality, q.doc_id) AS rn,
          |    count(*) OVER (PARTITION BY d.lang) AS n
-         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+         |  WHERE q.quality IS NOT NULL)
          |WHERE rn = (n + 1) // 2""".stripMargin),
     // rank-pick quartiles: rank = max(1, floor(q*(n+1))); q=0.5
     // reproduces the lower-median pick exactly
@@ -1027,14 +1028,16 @@ object OracleSql {
          |r AS (SELECT d.lang, q.quality,
          |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality, q.doc_id) AS rn,
          |    count(*) OVER (PARTITION BY d.lang) AS n
-         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+         |  WHERE q.quality IS NOT NULL)
          |SELECT lang, q, quality AS value
          |FROM r, (SELECT unnest([0.25e0, 0.5e0, 0.75e0]) AS q)
          |WHERE rn = greatest(1, floor(q * (n + 1))::BIGINT)""".stripMargin),
     "quality_filter" ->
       (s"""WITH qual AS ($qualitySql),
          |j AS (SELECT d.lang, q.doc_id, q.quality
-         |      FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+         |      FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+         |      WHERE q.quality IS NOT NULL),
          |med AS (SELECT lang, median_value FROM (
          |  SELECT lang, quality AS median_value,
          |    row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
@@ -1080,12 +1083,14 @@ object OracleSql {
          |st AS (SELECT doc_id, n_lines, n_distinct, len(gs) AS n_grams,
          |    CASE WHEN len(gs) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(gs), x -> len(list_filter(gs, y -> y = x)))) END AS top_cnt
          |  FROM g),
-         |fr AS (SELECT doc_id,
+         |fr AS (SELECT doc_id, n_lines, n_grams,
          |    CASE WHEN n_lines > 0 THEN (n_lines - n_distinct)::DOUBLE / n_lines ELSE 0.0 END AS dup_line_frac,
          |    CASE WHEN n_grams > 0 THEN top_cnt::DOUBLE / n_grams ELSE 0.0 END AS top_bigram_frac
          |  FROM st)
          |SELECT doc_id, dup_line_frac, top_bigram_frac,
-         |  CASE WHEN dup_line_frac > 0.3 OR top_bigram_frac > 0.2 THEN 1 ELSE 0 END AS repetitive
+         |  CASE WHEN (n_lines >= ${Corpus.MinRepetitionLines} AND dup_line_frac > 0.3)
+         |         OR (n_grams >= ${Corpus.MinRepetitionGrams} AND top_bigram_frac > 0.2)
+         |       THEN 1 ELSE 0 END AS repetitive
          |FROM fr""".stripMargin),
     "distinctive_terms" ->
       (s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term FROM documents),

@@ -93,16 +93,19 @@ object StreamingOps {
     * in StreamingSpec.
     */
   def decontaminateStream(spark: SparkSession, docsDir: String,
-      bench: DataFrame, n: Int = 4): DataFrame = {
+      bench: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5): DataFrame = {
     val schema = spark.read.parquet(docsDir).schema
-    val benchGrams = bench
-      .select(explode(graft.text.TextExprs.shingleHashes(
-        col("text"), distinct = true, n)).as("g"))
-      .distinct()
+    // the gram set comes from the SAME helper as the batch twin (the
+    // default n once drifted between hand-rolled copies), and is
+    // persisted: a static frame in a stream-static join is otherwise
+    // re-computed every micro-batch
+    val benchGrams =
+      graft.text.Corpus.benchmarkGrams(bench, textCol, n).persist()
     spark.readStream.schema(schema).parquet(docsDir)
-      .select(col("doc_id"),
+      .select(col(idCol).as("doc_id"),
         explode(graft.text.TextExprs.shingleHashes(
-          col("text"), distinct = true, n)).as("g"))
+          col(textCol), distinct = true, n)).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))

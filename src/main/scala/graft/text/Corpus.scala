@@ -39,12 +39,19 @@ object Corpus {
     * (it should not), drop the hint and let AQE pick a shuffle join,
     * or prescreen with a bloom filter of the benchmark set.
     */
-  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 5): DataFrame = {
-    val benchGrams = bench
+  /** the benchmark's distinct n-gram hash set — ONE definition shared
+    * by the batch op and the streaming twin (a copy already let their
+    * gram widths drift once)
+    */
+  def benchmarkGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench
       .select(explode(TextExprs.shingleHashes(col(textCol), distinct = true, n))
         .as("g"))
       .distinct()
+
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmarkGrams(bench, textCol, n)
     // gram array staged below the explode (the repetitionStats lesson:
     // size() selected beside explode would re-run the kernel per gram)
     val staged = train.select(col(idCol).as("doc_id"),
@@ -67,12 +74,13 @@ object Corpus {
     *     occurrences taken by its single most frequent 2-gram
     *     (count fraction; Gopher's char-fraction variant differs only
     *     by a length weight).
-    *   - repetitive: 1 iff dup_line_frac > 0.3 or top_bigram_frac
-    *     > 0.2 (Gopher-ish thresholds) — applied only to documents
-    *     with at least [[MinRepetitionGrams]] 2-gram occurrences
-    *     (≈ Gopher's 50-word minimum): below that, top_bigram_frac is
+    *   - repetitive: 1 iff dup_line_frac > 0.3 (at
+    *     ≥ [[MinRepetitionLines]] non-empty lines) or top_bigram_frac
+    *     > 0.2 (at ≥ [[MinRepetitionGrams]] 2-gram occurrences,
+    *     ≈ Gopher's 50-word minimum — below that top_bigram_frac is
     *     ≥ 1/n_grams by pigeonhole even for fully unique text, so
-    *     every short document would be wholesale flagged.
+    *     every short document would be wholesale flagged; the line
+    *     branch has no such artifact and keeps its own smaller floor).
     *
     * Scale shape: line stats are a pure map-side projection. The
     * 2-gram mode is the one genuinely distributional part — counted
@@ -85,10 +93,18 @@ object Corpus {
     * 60-bit kernel — identically on the DuckDB side, so a 2^-60
     * collision (merging two gram counts) would be mirrored exactly.
     */
-  /** minimum 2-gram occurrences (= words − 1) before the repetitive
-    * thresholds apply — the Gopher-style short-document guard
+  /** minimum 2-gram occurrences (= words − 1) before the top-bigram
+    * threshold applies — the Gopher-style short-document guard
+    * (below it, top_bigram_frac ≥ 1/n_grams by pigeonhole even for
+    * fully unique text)
     */
   val MinRepetitionGrams = 49
+
+  /** minimum non-empty lines before the duplicate-line threshold
+    * applies — dup_line_frac has no pigeonhole artifact, but a one-dup
+    * two-line doc is noise, not spam
+    */
+  val MinRepetitionLines = 5
 
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = filter(
@@ -127,8 +143,9 @@ object Corpus {
       col("doc_id"),
       dupFrac.as("dup_line_frac"),
       topFrac.as("top_bigram_frac"),
-      when(col("n_grams") >= MinRepetitionGrams &&
-        (dupFrac > 0.3 || topFrac > 0.2), 1).otherwise(0).as("repetitive"))
+      when((col("n_lines") >= MinRepetitionLines && dupFrac > 0.3) ||
+        (col("n_grams") >= MinRepetitionGrams && topFrac > 0.2), 1)
+        .otherwise(0).as("repetitive"))
   }
 
   /** Stratified deterministic sampling: per-group keep rates over the

@@ -170,6 +170,10 @@ object TextOps {
     */
   def groupPercentilesExact(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    // q=1.0 would rank-pick n+1 (no row — silent truncation) and q=0.0
+    // clamps to the min; both are better served by max/min aggregates
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must lie strictly in (0,1), got $qs")
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(col(groupCol))
     val w = byGroup.orderBy(col(valueCol), col(idCol))

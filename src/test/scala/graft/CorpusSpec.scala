@@ -99,7 +99,10 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, ""), // no lines, no grams
       (4L, "single"), // 1 line, no bigrams
       (5L, longRep), // "x y" x60 -> top 60/119 > 0.2, above the guard
-      (6L, longOk)) // long and fully distinct -> top 1/119, not flagged
+      (6L, longOk), // long and fully distinct -> top 1/119, not flagged
+      // 6 identical lines: dup 5/6 at >= MinRepetitionLines lines ->
+      // flagged through the LINE branch even though 11 grams < 49
+      (7L, Array.fill(6)("same line").mkString("\n")))
     val got = Corpus.repetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text")
       .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
     assert(got(0) == ((1L, 0.75, 4.0 / 7.0, 0)))
@@ -108,6 +111,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == ((4L, 0.0, 0.0, 0)))
     assert(got(4) == ((5L, 0.0, 60.0 / 119.0, 1)))
     assert(got(5) == ((6L, 0.0, 1.0 / 119.0, 0)))
+    assert(got(6) == ((7L, 5.0 / 6.0, 6.0 / 11.0, 1)))
   }
 
   test("stratifiedSample: per-group rates honored, deterministic, subset semantics") {
