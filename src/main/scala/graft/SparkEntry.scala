@@ -302,6 +302,31 @@ object SparkEntry {
             lit("\nfooter sitemap "), (col("doc_id") % 3).cast("string"))
             .as("text")),
         "doc_id", "text", minDocs = 10)),
+    // relational set ops (a surface the reference lacks, SURVEY §2.6):
+    // sampled ∩ quality-filtered − deleted — Spark plans these as
+    // joins (left_semi/left_anti over a distinct), no custom code
+    "set_ops" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.sampleHash(d, "doc_id", rate = 0.5).select("doc_id")
+        .intersect(d.filter(col("n_chars") >= 100).select("doc_id"))
+        .except(d.filter(col("doc_id") % 7 === 0).select("doc_id"))
+    }),
+    // the dedup pipeline's last step end-to-end: near-dup components →
+    // canonical per component = best quality (ties → lowest doc_id);
+    // composes simhashPairs + connectedComponents + qualityScore +
+    // a rank window, each individually oracled above
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3))
+      val scored = TextOps.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      TextOps.topPerGroup(
+        comps.join(scored, comps("id") === scored("doc_id"))
+          .select(col("component"), col("doc_id"), col("quality")),
+        "component", "quality", "doc_id", k = 1)
+        .select("component", "doc_id", "quality")
+    }),
     // stratified per-language keep rates (policy map, pure map-side)
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(docs(s, dir), "doc_id", "lang",
@@ -936,6 +961,32 @@ object OracleSql {
           |  UNION
           |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab)
           |SELECT node AS id, min(lab) AS component FROM reach GROUP BY node""".stripMargin),
+    // components (the dedup_components CTE chain) ⋈ quality, best per
+    // component by (quality desc, doc_id)
+    "dedup_keep_best" ->
+      (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          |edges AS (SELECT a_id AS u, b_id AS v FROM p
+          |  UNION SELECT b_id, a_id FROM p),
+          |reach(node, lab) AS (
+          |  SELECT u, u FROM edges
+          |  UNION
+          |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab),
+          |comp AS (SELECT node AS id, min(lab) AS component FROM reach GROUP BY node),
+          |qual AS ($qualitySql),
+          |j AS (SELECT c.component, q.doc_id, q.quality
+          |  FROM comp c JOIN qual q ON q.doc_id = c.id)
+          |SELECT component, doc_id, quality FROM (
+          |  SELECT component, doc_id, quality,
+          |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+          |  FROM j) WHERE rn = 1""".stripMargin),
+    "set_ops" ->
+      (s"""SELECT doc_id FROM documents WHERE ${TextOps.sqlSampleHash60("sample", "doc_id")} < ${TextOps.hashThreshold60(0.5)}
+         |INTERSECT SELECT doc_id FROM documents WHERE n_chars >= 100
+         |EXCEPT SELECT doc_id FROM documents WHERE doc_id % 7 = 0""".stripMargin),
     "ngram_jaccard" ->
       (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
          |sh0 AS (SELECT doc_id, ${sqlHash("unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])))")} AS s FROM w WHERE len(ws) >= 3),
