@@ -224,6 +224,16 @@ object SparkEntry {
     // ScalaTest-measured, like embed_neardup vs _exact)
     "ngram_jaccard_banded" -> ((s, dir) =>
       Dedup.ngramJaccardBanded(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+    // incremental ingest: near-dup candidates of a NEW batch
+    // (doc_id % 10 == 0) against the EXISTING corpus — asymmetric
+    // band join, batch-driven candidate set
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashPairsIncremental(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
     // canonical-doc selection: connected components over the simhash
     // near-dup graph (component = min reachable doc_id)
     "dedup_components" -> ((s, dir) =>
@@ -940,6 +950,17 @@ object OracleSql {
          |  FROM sig, (SELECT unnest(range(0,4)) AS bi))
          |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin),
+    // same sig/band construction, asymmetric batch-vs-corpus join
+    "dedup_incremental" ->
+      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${sqlHash("x")}) AS hl FROM sh),
+         |sig AS (SELECT doc_id, list_transform(${graft.text.Dedup.sqlSeedsLiteral}, sd -> list_min(list_transform(hl, h -> ${graft.text.Dedup.sqlMix60("xor(h, sd)")}))) AS sg FROM hs),
+         |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
+         |  FROM sig, (SELECT unnest(range(0,4)) AS bi))
+         |SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+         |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey
+         |WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin),
     "dedup_simhash" ->
       (simhashCte + "\nSELECT doc_id, simhash FROM sims"),
     "simhash_pairs" ->

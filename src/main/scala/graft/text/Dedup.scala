@@ -210,6 +210,31 @@ object Dedup {
             lit(RowsPerBand))).as("key")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
 
+  /** Incremental-ingest dedup: candidate near-dup pairs between a NEW
+    * batch and the EXISTING corpus — the `add_documents` flow at scale
+    * (S6's dedup concern applied to near-dups, not just exact
+    * chunk_id collisions). Asymmetric band equi-join: the candidate
+    * set is |batch|-driven bucket collisions, never corpus × corpus.
+    * Here both band tables are derived from their frames; a resident
+    * store PERSISTS the corpus band table as an index (the
+    * `ivf_assign` write-time pattern), so steady-state ingest sketches
+    * only the batch and probes the index. Returns (batch_id,
+    * corpus_id) distinct candidates.
+    */
+  def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def sigs(df: DataFrame) = spread(df)
+      .select(col(idCol).as("id"),
+        TextExprs.minhashSig(col(textCol)).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val corpusBands = bandsOf(sigs(corpus))
+      .select(col("id").as("corpus_id"), col("band"), col("key"))
+    bandsOf(sigs(batch))
+      .select(col("id").as("batch_id"), col("band"), col("key"))
+      .join(corpusBands, Seq("band", "key"))
+      .select("batch_id", "corpus_id").distinct()
+  }
+
   /** band table → distinct candidate pairs (equi-join on the bucket) */
   private def bandCandidates(bands: DataFrame): DataFrame = {
     val a = bands.select(col("id").as("a_id"), col("band"), col("key"))

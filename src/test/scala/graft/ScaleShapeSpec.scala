@@ -62,11 +62,34 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plans = Seq(
       "minhash" -> plan(Dedup.minhashPairs(docs, "doc_id", "text", materialize = false)),
       "simhash" -> plan(Dedup.simhashPairs(docs, "doc_id", "text", 3, materialize = false)),
-      "jaccard" -> plan(Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, materialize = false)))
+      "jaccard" -> plan(Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, materialize = false)),
+      "incremental" -> plan(Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")),
+      "keep_best" -> plan(SparkEntry.queries("dedup_keep_best")(spark, sf)),
+      "set_ops" -> plan(SparkEntry.queries("set_ops")(spark, sf)))
     plans.foreach { case (name, p) =>
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
+  }
+
+  test("incremental dedup candidates = full-pair candidates restricted to the split") {
+    import spark.implicits._
+    // near-dup-rich corpus: shared body, per-doc tail
+    val docs = (0L until 30L)
+      .map(i => (i, s"alpha beta gamma delta epsilon shared body ${i % 5}"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val inc = Dedup.minhashPairsIncremental(corpus, batch, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // full pairs are (a<b); incremental is (batch, corpus) either order
+    val fullCross = full.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (x, y) => x % 10 == 0 && y % 10 != 0 }
+    assert(inc == fullCross && inc.nonEmpty)
   }
 
   test("embed_neardup plans an equi-join on the LSH bucket, no cartesian") {
