@@ -900,6 +900,34 @@ object OracleSql {
   private val sqlWords = "regexp_extract_all(text, '[A-Za-z0-9]+')"
   private def sqlHash(e: String) =
     s"CAST('0x'||substr(sha256($e),1,15) AS BIGINT)"
+  /** MinHash sig/band CTE chain — ONE definition for the full and
+    * incremental pair oracles (a drifting hand copy is exactly how
+    * oracle divergences start)
+    */
+  private lazy val minhashBandsCte =
+    s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+       |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
+       |hs AS (SELECT doc_id, list_transform(s, x -> ${sqlHash("x")}) AS hl FROM sh),
+       |sig AS (SELECT doc_id, list_transform(${graft.text.Dedup.sqlSeedsLiteral}, sd -> list_min(list_transform(hl, h -> ${graft.text.Dedup.sqlMix60("xor(h, sd)")}))) AS sg FROM hs),
+       |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
+       |  FROM sig, (SELECT unnest(range(0,4)) AS bi))""".stripMargin
+
+  /** simhash near-dup components CTE chain (appended after a
+    * WITH RECURSIVE simhashCte) — shared by dedup_components and
+    * dedup_keep_best
+    */
+  private val componentsCtes =
+    """p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |edges AS (SELECT a_id AS u, b_id AS v FROM p
+      |  UNION SELECT b_id, a_id FROM p),
+      |reach(node, lab) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab),
+      |comp AS (SELECT node AS id, min(lab) AS component FROM reach GROUP BY node)""".stripMargin
+
   private val simhashCte =
     s"""WITH w AS (SELECT doc_id, list_transform($sqlWords, t -> ${sqlHash("t")}) AS hs FROM documents),
        |sims AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(0,60), b ->
@@ -942,25 +970,17 @@ object OracleSql {
       ("SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
     "dedup_minhash" ->
-      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-         |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
-         |hs AS (SELECT doc_id, list_transform(s, x -> ${sqlHash("x")}) AS hl FROM sh),
-         |sig AS (SELECT doc_id, list_transform(${graft.text.Dedup.sqlSeedsLiteral}, sd -> list_min(list_transform(hl, h -> ${graft.text.Dedup.sqlMix60("xor(h, sd)")}))) AS sg FROM hs),
-         |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
-         |  FROM sig, (SELECT unnest(range(0,4)) AS bi))
-         |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin),
-    // same sig/band construction, asymmetric batch-vs-corpus join
+      (minhashBandsCte +
+        """
+          |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+          |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin),
+    // same sig/band CTE chain, asymmetric batch-vs-corpus join
     "dedup_incremental" ->
-      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-         |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS s FROM w WHERE len(ws) >= 3),
-         |hs AS (SELECT doc_id, list_transform(s, x -> ${sqlHash("x")}) AS hl FROM sh),
-         |sig AS (SELECT doc_id, list_transform(${graft.text.Dedup.sqlSeedsLiteral}, sd -> list_min(list_transform(hl, h -> ${graft.text.Dedup.sqlMix60("xor(h, sd)")}))) AS sg FROM hs),
-         |bands AS (SELECT doc_id, bi, array_to_string(list_slice(sg, bi*4+1, bi*4+4), ',') AS bkey
-         |  FROM sig, (SELECT unnest(range(0,4)) AS bi))
-         |SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
-         |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey
-         |WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin),
+      (minhashBandsCte +
+        """
+          |SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+          |FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey
+          |WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin),
     "dedup_simhash" ->
       (simhashCte + "\nSELECT doc_id, simhash FROM sims"),
     "simhash_pairs" ->
@@ -971,32 +991,15 @@ object OracleSql {
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
     "dedup_components" ->
       (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """,
-          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          |edges AS (SELECT a_id AS u, b_id AS v FROM p
-          |  UNION SELECT b_id, a_id FROM p),
-          |reach(node, lab) AS (
-          |  SELECT u, u FROM edges
-          |  UNION
-          |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab)
-          |SELECT node AS id, min(lab) AS component FROM reach GROUP BY node""".stripMargin),
-    // components (the dedup_components CTE chain) ⋈ quality, best per
-    // component by (quality desc, doc_id)
+        s""",
+          |$componentsCtes
+          |SELECT id, component FROM comp""".stripMargin),
+    // components (the shared CTE chain) ⋈ quality, best per component
+    // by (quality desc, doc_id)
     "dedup_keep_best" ->
       (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""",
-          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-          |edges AS (SELECT a_id AS u, b_id AS v FROM p
-          |  UNION SELECT b_id, a_id FROM p),
-          |reach(node, lab) AS (
-          |  SELECT u, u FROM edges
-          |  UNION
-          |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab),
-          |comp AS (SELECT node AS id, min(lab) AS component FROM reach GROUP BY node),
+          |$componentsCtes,
           |qual AS ($qualitySql),
           |j AS (SELECT c.component, q.doc_id, q.quality
           |  FROM comp c JOIN qual q ON q.doc_id = c.id)

@@ -188,10 +188,7 @@ object Dedup {
     // signatureCol's null. repartition first: the corpus may arrive as
     // one file → one scan task, and the sha256 kernel must run at full
     // parallelism, not scan parallelism
-    val sigs = spread(docs)
-      .select(col(idCol).as("id"),
-        TextExprs.minhashSig(col(textCol)).as("sig"))
-      .filter(size(col("sig")) > 0)
+    val sigs = sigsOf(docs, idCol, textCol)
     val bands = bandsOf(sigs)
     if (materialize) { bands.persist(); bands.count() } // sketch built once
     val raw = bandCandidates(bands)
@@ -223,17 +220,27 @@ object Dedup {
     */
   def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def sigs(df: DataFrame) = spread(df)
+    val corpusBands = bandsOf(sigsOf(corpus, idCol, textCol))
+      .select(col("id").as("corpus_id"), col("band"), col("key"))
+    bandsOf(sigsOf(batch, idCol, textCol))
+      .select(col("id").as("batch_id"), col("band"), col("key"))
+      // a re-ingested id present on BOTH sides collides with itself in
+      // every band — a self-pair is never a near-DUP, so drop it (the
+      // full-pairs path's a_id < b_id guard has no analogue here)
+      .join(corpusBands, Seq("band", "key"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id").distinct()
+  }
+
+  /** per-doc MinHash signatures (native kernel, full parallelism,
+    * <3-word docs dropped) — the ONE construction shared by the full
+    * and incremental pair paths
+    */
+  private def sigsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(docs)
       .select(col(idCol).as("id"),
         TextExprs.minhashSig(col(textCol)).as("sig"))
       .filter(size(col("sig")) > 0)
-    val corpusBands = bandsOf(sigs(corpus))
-      .select(col("id").as("corpus_id"), col("band"), col("key"))
-    bandsOf(sigs(batch))
-      .select(col("id").as("batch_id"), col("band"), col("key"))
-      .join(corpusBands, Seq("band", "key"))
-      .select("batch_id", "corpus_id").distinct()
-  }
 
   /** band table → distinct candidate pairs (equi-join on the bucket) */
   private def bandCandidates(bands: DataFrame): DataFrame = {

@@ -66,7 +66,10 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "incremental" -> plan(Dedup.minhashPairsIncremental(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")),
-      "keep_best" -> plan(SparkEntry.queries("dedup_keep_best")(spark, sf)),
+      // NOT dedup_keep_best here: connectedComponents executes eagerly
+      // during construction, so its audited plan would only be the
+      // comps⋈quality tail — a vacuous (and expensive) assertion; its
+      // pair join is exactly simhashPairs, audited above
       "set_ops" -> plan(SparkEntry.queries("set_ops")(spark, sf)))
     plans.foreach { case (name, p) =>
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
