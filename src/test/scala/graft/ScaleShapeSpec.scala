@@ -347,6 +347,20 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cents.flatten.forall(d => d.toString.toDouble == d))
   }
 
+  test("contract: every registered query except golden_extract carries an oracle") {
+    // the driver's correctness gate IS the oracle compare — a query
+    // registered without its SQL twin silently downgrades to a
+    // rows-only check. Training-derived oracles (kmeans, PQ) appear
+    // after their queries run once.
+    SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+    SparkEntry.queries("pq_encode")(spark, sf).collect()
+    val missing = SparkEntry.queries.keySet - "golden_extract" --
+      SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracleSql: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
+  }
+
   test("IVF centroid training is cached per corpus snapshot") {
     graft.rag.AnnIvf.clearCentroidCache()
     val e = SparkEntry.embeddings(spark, sf)
