@@ -190,7 +190,7 @@ object Dedup {
     // parallelism, not scan parallelism
     val sigs = sigsOf(docs, idCol, textCol)
     val bands = bandsOf(sigs)
-    if (materialize) { bands.persist(); bands.count() } // sketch built once
+    if (materialize) { bands.persist() } // sketch built once (checkpoint run fills it)
     val raw = bandCandidates(bands)
     if (!materialize) return raw // lazy plan, for shape audits
     val pairs = raw.localCheckpoint() // materialize the (small) result …
@@ -582,7 +582,7 @@ object Dedup {
       .filter(col("df") > maxDf).select("sh")
     val sh = all.join(hot, Seq("sh"), "left_anti")
       .repartition(col("sh"))
-    if (materialize) { sh.persist(); sh.count() } // capped index once
+    if (materialize) { sh.persist() } // capped index once (first stage fills)
     // set sizes AFTER the cap: dropped shingles leave the universe
     // entirely (index AND set sizes), the standard df-capped trade
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
