@@ -190,7 +190,16 @@ object Dedup {
     // parallelism, not scan parallelism
     val sigs = sigsOf(docs, idCol, textCol)
     val bands = bandsOf(sigs)
-    if (materialize) { bands.persist() } // sketch built once (checkpoint run fills it)
+    // persist + EAGER count: persist alone already swaps in the
+    // InMemoryRelation (stops Catalyst inlining the sha256 pipeline
+    // into both join legs), but the eager fill is ALSO load-bearing on
+    // a real cluster — BlockManager's getOrElseUpdate lock is
+    // per-executor, so two concurrent join-leg stages cold-filling the
+    // same partition on DIFFERENT executors would each recompute it.
+    // (Dropping the count saves ~0.6 s on single-JVM local[n], where
+    // one BlockManager serializes the race — a measurement artifact,
+    // not a win at the target scale.)
+    if (materialize) { bands.persist(); bands.count() } // sketch built once
     val raw = bandCandidates(bands)
     if (!materialize) return raw // lazy plan, for shape audits
     val pairs = raw.localCheckpoint() // materialize the (small) result …
@@ -582,7 +591,10 @@ object Dedup {
       .filter(col("df") > maxDf).select("sh")
     val sh = all.join(hot, Seq("sh"), "left_anti")
       .repartition(col("sh"))
-    if (materialize) { sh.persist() } // capped index once (first stage fills)
+    // persist + eager count — same cross-executor cold-fill rationale
+    // as minhashPairs (three concurrent consumers: sizes agg + two
+    // self-join legs)
+    if (materialize) { sh.persist(); sh.count() } // capped index once
     // set sizes AFTER the cap: dropped shingles leave the universe
     // entirely (index AND set sizes), the standard df-capped trade
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
