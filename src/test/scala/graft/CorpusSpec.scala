@@ -153,6 +153,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("<all>", "<all>", 5L, 44.0)))
   }
 
+  test("corpus ops survive null text rows (dropped or zeroed, never crash)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // repetition: the null doc stays with zero fractions (explode_outer)
+    val rep = Corpus.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    assert(rep.length == 2 && rep(1) == ((2L, 0.0, 0.0, 0)))
+    // decontaminate: null docs have no grams -> never contaminated
+    val dec = Corpus.decontaminate(docs, docs.filter(col("doc_id") === 1),
+      "doc_id", "text", n = 2).collect()
+    assert(dec.map(_.getLong(0)).toSet == Set(1L))
+    // pii: null text passes through as null, zero counts
+    val pii = Corpus.redactPii(docs, "doc_id", "text")
+      .as[(Long, Option[Long], Option[Long], Option[String])].collect().sortBy(_._1)
+    assert(pii(1)._4.isEmpty)
+    // boilerplate: null doc keeps an empty cleaned text, nothing removed
+    val bp = Corpus.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1)
+    assert(bp.length == 2)
+  }
+
   test("redactPii: emails and phones replaced with typed tokens, counts on original") {
     import spark.implicits._
     val docs = Seq(
