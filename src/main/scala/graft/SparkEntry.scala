@@ -337,6 +337,16 @@ object SparkEntry {
         "component", "quality", "doc_id", k = 1)
         .select("component", "doc_id", "quality")
     }),
+    // corpus vocabulary head: top-25 terms by document frequency
+    // (combine-friendly df agg over per-doc-distinct terms, then
+    // TakeOrderedAndProject — never a global sort)
+    "vocab_top" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.wordsCol(lower(col("text"))))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(25)),
     // stratified per-language keep rates (policy map, pure map-side)
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(docs(s, dir), "doc_id", "lang",
@@ -1079,6 +1089,10 @@ object OracleSql {
          |  len(ls) - len(list_filter(ls, l -> NOT list_contains(hl, l))) AS n_removed,
          |  array_to_string(list_filter(ls, l -> NOT list_contains(hl, l)), chr(10)) AS cleaned
          |FROM st, h""".stripMargin),
+    "vocab_top" ->
+      ("""WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))) AS term FROM documents)
+         |SELECT term, count(*) AS df FROM t GROUP BY 1
+         |ORDER BY df DESC, term LIMIT 25""".stripMargin),
     // GROUPING() labels subtotal rows — coalesce alone would collide
     // them with detail rows whose group value is genuinely NULL
     "corpus_rollup" ->
