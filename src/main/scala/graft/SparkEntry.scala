@@ -355,6 +355,10 @@ object SparkEntry {
     // corpus census: (lang, source) grouping sets in one Expand+agg
     "corpus_rollup" -> ((s, dir) =>
       Corpus.compositionRollup(docs(s, dir), "lang", "source", "n_chars")),
+    // pairwise language-slice overlap via mergeable bottom-k sketches
+    // (the custom TypedImperativeAggregate)
+    "corpus_similarity" -> ((s, dir) =>
+      Corpus.corpusSimilarity(docs(s, dir), "lang", "text")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
     // frame_offsets scalarized (comma-joined) for the same
@@ -1089,6 +1093,27 @@ object OracleSql {
          |  len(ls) - len(list_filter(ls, l -> NOT list_contains(hl, l))) AS n_removed,
          |  array_to_string(list_filter(ls, l -> NOT list_contains(hl, l)), chr(10)) AS cleaned
          |FROM st, h""".stripMargin),
+    // KMV sketches re-derived exactly: bottom-256 distinct shingle
+    // hashes per language, union-sketch estimator per pair
+    "corpus_similarity" ->
+      (s"""WITH w AS (SELECT lang AS g, $sqlWords AS ws FROM documents),
+         |d0 AS (SELECT g, unnest(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s FROM w WHERE len(ws) >= 3),
+         |d AS (SELECT DISTINCT g, ${sqlHash("s")} AS h FROM d0),
+         |sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d) WHERE rn <= 256),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |pu AS (SELECT ga, gb, h FROM pairs JOIN sk ON sk.g = ga
+         |  UNION SELECT ga, gb, h FROM pairs JOIN sk ON sk.g = gb),
+         |u AS (SELECT ga, gb, h FROM (SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM pu) WHERE rn <= 256),
+         |inter AS (SELECT u.ga, u.gb, count(*) AS n_shared
+         |  FROM u JOIN sk a ON a.g = u.ga AND a.h = u.h
+         |         JOIN sk b ON b.g = u.gb AND b.h = u.h
+         |  GROUP BY 1, 2),
+         |usize AS (SELECT ga, gb, count(*) AS sketch_size FROM u GROUP BY 1, 2)
+         |SELECT s.ga AS group_a, s.gb AS group_b,
+         |  coalesce(i.n_shared, 0) AS n_shared, s.sketch_size,
+         |  coalesce(i.n_shared, 0)::DOUBLE / s.sketch_size AS jaccard_est
+         |FROM usize s LEFT JOIN inter i ON i.ga = s.ga AND i.gb = s.gb""".stripMargin),
     "vocab_top" ->
       ("""WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))) AS term FROM documents)
          |SELECT term, count(*) AS df FROM t GROUP BY 1

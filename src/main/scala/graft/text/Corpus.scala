@@ -262,6 +262,48 @@ object Corpus {
         array_join(col("kept"), "\n").as("cleaned"))
   }
 
+  /** Pairwise corpus-slice similarity via bottom-k (KMV) sketches:
+    * per group, the k smallest distinct 3-shingle hashes (the
+    * [[BottomKAgg]] mergeable aggregate — O(k) state per group, the
+    * shuffle carries sketches, never the hash universe); per group
+    * pair, the standard KMV Jaccard estimate
+    * |U ∩ A ∩ B| / |U| with U = bottom-k(A ∪ B) (exact when the
+    * union sketch is not truncated, since bottom-k(A ∪ B) =
+    * bottom-k(sketchA ∪ sketchB)). The estimator runs on the DRIVER
+    * over the collected sketches — bounded at |groups|·k longs, the
+    * same bounded-collect rule as the IVF centroid tables. Use:
+    * which languages/sources share content (domain overlap, cross-
+    * lingual contamination) without any pairwise corpus scan.
+    */
+  def corpusSimilarity(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 256, maxGroups: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sketches = docs
+      .select(col(groupCol).cast("string").as("g"),
+        explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
+      .groupBy("g").agg(BottomK.bottomK(col("sh"), k).as("sk"))
+      .limit(maxGroups + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(sketches.length <= maxGroups,
+      s"corpusSimilarity: more than $maxGroups groups — sketch table no longer driver-bounded")
+    val rows = for {
+      i <- sketches.indices
+      j <- sketches.indices if i < j
+    } yield {
+      val (ga, sa) = sketches(i)
+      val (gb, sb) = sketches(j)
+      val u = (sa ++ sb).distinct.sorted.take(k)
+      val (setA, setB) = (sa.toSet, sb.toSet)
+      val shared = u.count(h => setA(h) && setB(h))
+      (ga, gb, shared.toLong, u.length.toLong,
+        shared.toDouble / u.length)
+    }
+    rows.toDF("group_a", "group_b", "n_shared", "sketch_size", "jaccard_est")
+  }
+
   /** Top-k distinctive terms per document — the TF-IDF shape with a
     * RATIONAL idf: score = tf / df (idf = 1/df instead of ln(N/df) —
     * order-equivalent per fixed tf, and an exact IEEE double division

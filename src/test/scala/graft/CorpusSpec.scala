@@ -216,6 +216,37 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("BottomKAgg = k smallest distinct values, partition-independent") {
+    import spark.implicits._
+    import graft.text.BottomK
+    val vals = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L, 6L)
+    for (parts <- Seq(1, 4)) {
+      val got = vals.toDF("v").repartition(parts)
+        .agg(BottomK.bottomK(org.apache.spark.sql.functions.col("v"), 4))
+        .as[Seq[Long]].head()
+      assert(got == Seq(1L, 2L, 3L, 5L))
+    }
+    // k larger than the distinct universe -> the whole sorted set
+    val all = vals.toDF("v")
+      .agg(BottomK.bottomK(org.apache.spark.sql.functions.col("v"), 100))
+      .as[Seq[Long]].head()
+    assert(all == vals.distinct.sorted)
+  }
+
+  test("corpusSimilarity: identical slices estimate 1.0, disjoint slices 0.0") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"shared w$i body token").mkString(" ")
+    val docs = Seq(
+      (1L, "a", shared), (2L, "b", shared), // identical content
+      (3L, "c", (1 to 40).map(i => s"totally different z$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = Corpus.corpusSimilarity(docs, "lang", "text", k = 64)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
+  }
+
   test("distinctiveTerms = naive tf/df ranking") {
     import spark.implicits._
     val docs = Seq(
