@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.rag.{DotProduct, HashEmbed, HashEmbedder, L2Normalize}
-import graft.text.{MinHashSig, ShingleHashes, SimHash60, TextOps, WordStats}
+import graft.text.{BottomKAgg, MinHashSig, ShingleHashes, SimHash60, TextOps, WordStats}
 
 /** SparkSessionExtensions hook: exposes the engine's custom Catalyst
   * expression in SQL, so the library's operators compose with plain
@@ -68,7 +68,21 @@ object GraftExtensions {
     // struct(n_words, sum_word_len, hits[]) with the engine's standard
     // per-language stopword lists
     ("word_stats", classOf[WordStats],
-      checked("word_stats", 1)(c => WordStats(c(0), TextOps.Stopwords.map(_._2)))))
+      checked("word_stats", 1)(c => WordStats(c(0), TextOps.Stopwords.map(_._2)))),
+    // mergeable bottom-k sketch aggregate: bottom_k(expr, k) with a
+    // literal integer k
+    ("bottom_k", classOf[BottomKAgg],
+      checked("bottom_k", 2) { c =>
+        val k = c(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "bottom_k (k must be an INT literal)",
+              "expectedNum" -> "2", "actualNum" -> "2", "docroot" -> ""))
+        }
+        BottomKAgg(c(0), k).toAggregateExpression()
+      }))
 
   /** register on an already-built session */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

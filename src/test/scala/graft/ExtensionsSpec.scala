@@ -54,6 +54,14 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 3) // "a b c","b c a","c a b" distinct of 6
     assert(r.getSeq[Double](5) == Seq(0.6, 0.8))
+    // word_stats struct + the bottom_k AGGREGATE through plain SQL
+    val s = spark.sql(
+      """SELECT word_stats('the quick the fox').n_words AS nw,
+        |  word_stats('the quick the fox').hits[0] AS en_hits""".stripMargin).head()
+    assert(s.getInt(0) == 4 && s.getInt(1) == 2)
+    val bk = spark.sql(
+      "SELECT bottom_k(v, 3) FROM VALUES (9L),(1L),(5L),(1L),(7L) t(v)").head()
+    assert(bk.getSeq[Long](0) == Seq(1L, 5L, 7L))
   }
 
   test("nearest_centroid fails loudly on dim mismatch and null elements") {
