@@ -70,18 +70,20 @@ object GraftExtensions {
     ("word_stats", classOf[WordStats],
       checked("word_stats", 1)(c => WordStats(c(0), TextOps.Stopwords.map(_._2)))),
     // mergeable bottom-k sketch aggregate: bottom_k(expr, k) with a
-    // literal integer k
+    // literal integer k. Returns the BARE AggregateFunction — the
+    // analyzer wraps it, so DISTINCT / FILTER modifiers resolve
+    // (pre-wrapping in toAggregateExpression made them fail with
+    // "not an aggregate function")
     ("bottom_k", classOf[BottomKAgg],
       checked("bottom_k", 2) { c =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
         val k = c(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "bottom_k (k must be an INT literal)",
-              "expectedNum" -> "2", "actualNum" -> "2", "docroot" -> ""))
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"bottom_k: k must be an integer LITERAL, got ${other.sql}")
         }
-        BottomKAgg(c(0), k).toAggregateExpression()
+        BottomKAgg(c(0), k)
       }))
 
   /** register on an already-built session */

@@ -342,8 +342,7 @@ object SparkEntry {
     // TakeOrderedAndProject — never a global sort)
     "vocab_top" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(Dedup.wordsCol(lower(col("text"))))).as("term"))
+        .select(explode(array_distinct(Dedup.wordsCol(lower(col("text"))))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term").asc)
         .limit(25)),

@@ -280,6 +280,10 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     val sketches = docs
+      // NULL group keys are excluded up front (they would NPE the
+      // driver sort and the oracle's a.g < b.g silently drops them —
+      // a null slice has no defined similarity)
+      .filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
       .groupBy("g").agg(BottomK.bottomK(col("sh"), k).as("sk"))
@@ -289,6 +293,7 @@ object Corpus {
       .sortBy(_._1)
     require(sketches.length <= maxGroups,
       s"corpusSimilarity: more than $maxGroups groups — sketch table no longer driver-bounded")
+    val sets = sketches.map(_._2.toSet) // once per sketch, not per pair
     val rows = for {
       i <- sketches.indices
       j <- sketches.indices if i < j
@@ -296,7 +301,7 @@ object Corpus {
       val (ga, sa) = sketches(i)
       val (gb, sb) = sketches(j)
       val u = (sa ++ sb).distinct.sorted.take(k)
-      val (setA, setB) = (sa.toSet, sb.toSet)
+      val (setA, setB) = (sets(i), sets(j))
       val shared = u.count(h => setA(h) && setB(h))
       (ga, gb, shared.toLong, u.length.toLong,
         shared.toDouble / u.length)
