@@ -358,6 +358,10 @@ object SparkEntry {
     // (the custom TypedImperativeAggregate)
     "corpus_similarity" -> ((s, dir) =>
       Corpus.corpusSimilarity(docs(s, dir), "lang", "text")),
+    // training-sequence packing: concatenate per language in doc order,
+    // cut every 2048 tokens; each doc's (seq, offset) placement
+    "pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(docs(s, dir), "lang", "doc_id", "text")),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
     // frame_offsets scalarized (comma-joined) for the same
@@ -1113,6 +1117,15 @@ object OracleSql {
          |  coalesce(i.n_shared, 0) AS n_shared, s.sketch_size,
          |  coalesce(i.n_shared, 0)::DOUBLE / s.sketch_size AS jaccard_est
          |FROM usize s LEFT JOIN inter i ON i.ga = s.ga AND i.gb = s.gb""".stripMargin),
+    "pack_sequences" ->
+      (s"""WITH n AS (SELECT doc_id, lang AS grp,
+         |    len(regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}'))::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, grp, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM n)
+         |SELECT doc_id, grp, n_tokens, start_tok // 2048 AS seq_id,
+         |  start_tok % 2048 AS seq_offset FROM c""".stripMargin),
     "vocab_top" ->
       ("""WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))) AS term FROM documents)
          |SELECT term, count(*) AS df FROM t GROUP BY 1

@@ -309,6 +309,38 @@ object Corpus {
     rows.toDF("group_a", "group_b", "n_shared", "sketch_size", "jaccard_est")
   }
 
+  /** Sequence packing (the training-batch layout step): documents are
+    * concatenated in (group, id) order and cut every `seqTokens`
+    * tokens — each doc gets the sequence index and in-sequence token
+    * offset where its text begins (docs may span a cut, the standard
+    * packed-pretraining layout). Packing is PER GROUP (e.g. language),
+    * which is both the curation reality (streams are packed per
+    * shard/domain) and the scale shape: one exchange by group + a
+    * per-group running sum — a GLOBAL pack would serialize the corpus
+    * through one total order. Deterministic: the prefix sum over the
+    * (group, id) sort order does not depend on partitioning.
+    */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, seqTokens: Int = 2048): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
+    import org.apache.spark.sql.expressions.Window
+    // the window runs over the RENAMED projection below
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nTokens = regexp_count(col(textCol),
+      lit(graft.chunk.Tokenizer.TokenRegex)).cast("long")
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        nTokens.as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("grp"), col("n_tokens"),
+        // integer division (`div`), NOT `/`: double division of big
+        // longs would round above 2^53
+        expr(s"start_tok div $seqTokens").as("seq_id"),
+        (col("start_tok") % seqTokens).as("seq_offset"))
+  }
+
   /** Top-k distinctive terms per document — the TF-IDF shape with a
     * RATIONAL idf: score = tf / df (idf = 1/df instead of ln(N/df) —
     * order-equivalent per fixed tf, and an exact IEEE double division

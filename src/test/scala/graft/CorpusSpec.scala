@@ -247,6 +247,24 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
   }
 
+  test("packSequences: per-group running offsets, docs span cuts, partition-independent") {
+    import spark.implicits._
+    // token counts 3, 4, 2, 5 in id order within group "a"
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "x y z w"),
+      (3L, "a", "p q"), (4L, "a", "a b c d e"),
+      (10L, "b", "solo doc here")).toDF("doc_id", "lang", "text")
+    for (parts <- Seq(1, 4)) {
+      val got = Corpus.packSequences(docs.repartition(parts), "lang", "doc_id",
+        "text", seqTokens = 5)
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+      // cumsums in group a: 0,3,7,9 -> seq floor(/5): 0,0,1,1; offsets 0,3,2,4
+      assert(got.map(r => (r._1, r._4, r._5)).toSeq == Seq(
+        (1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L),
+        (10L, 0L, 0L)))
+    }
+  }
+
   test("distinctiveTerms = naive tf/df ranking") {
     import spark.implicits._
     val docs = Seq(
