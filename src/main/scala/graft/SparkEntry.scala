@@ -360,8 +360,16 @@ object SparkEntry {
       Corpus.corpusSimilarity(docs(s, dir), "lang", "text")),
     // training-sequence packing: concatenate per language in doc order,
     // cut every 2048 tokens; each doc's (seq, offset) placement
+    // DuckDB's windowed sum(BIGINT) is HUGEINT, which the driver's
+    // pandas bridge renders float64 — emit the derived positions as
+    // DOUBLE on both sides (exact below 2^53; the operator itself keeps
+    // exact longs)
     "pack_sequences" -> ((s, dir) =>
-      Corpus.packSequences(docs(s, dir), "lang", "doc_id", "text")),
+      Corpus.packSequences(docs(s, dir), "lang", "doc_id", "text")
+        .select(col("doc_id"), col("grp"),
+          col("n_tokens").cast("double").as("n_tokens"),
+          col("seq_id").cast("double").as("seq_id"),
+          col("seq_offset").cast("double").as("seq_offset"))),
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
     // frame_offsets scalarized (comma-joined) for the same
@@ -1124,8 +1132,9 @@ object OracleSql {
          |    coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
          |  FROM n)
-         |SELECT doc_id, grp, n_tokens, start_tok // 2048 AS seq_id,
-         |  start_tok % 2048 AS seq_offset FROM c""".stripMargin),
+         |SELECT doc_id, grp, n_tokens::DOUBLE AS n_tokens,
+         |  (start_tok // 2048)::DOUBLE AS seq_id,
+         |  (start_tok % 2048)::DOUBLE AS seq_offset FROM c""".stripMargin),
     "vocab_top" ->
       ("""WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))) AS term FROM documents)
          |SELECT term, count(*) AS df FROM t GROUP BY 1

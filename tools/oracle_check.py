@@ -49,10 +49,38 @@ def main(sf_dir, out_dir):
         ok_schema = sorted(gcols) == sorted(ecols)
         ok_rows = len(grows) == len(erows)
         ok_hash = ok_schema and ok_rows and canon(grows, gcols) == canon(erows, ecols)
-        status = "OK" if ok_hash else "FAIL"
-        if not ok_hash:
+        # dtype channel meta-check: the driver's comparator goes through
+        # duckdb->pandas on BOTH sides; a windowed sum(BIGINT) silently
+        # becomes HUGEINT->float64 while Spark's parquet stays int64, so
+        # identical VALUES hash-differently (repr(1.0) vs str(1)). Assert
+        # the pandas dtype of every oracle column equals the Spark
+        # result's — this catches the whole class even when today's
+        # values happen to stringify identically.
+        # Int WIDTH never matters (str(1) is '1' for int8..int64 alike);
+        # float32 vs float64 does (fetchall widens f32 with different
+        # digits), so only integer kinds collapse.
+        def dkind(t):
+            t = str(t)
+            return "int" if t.lstrip("uU").startswith(("int", "Int")) else t
+        gtypes = {c: dkind(t) for c, t in
+                  con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df().dtypes.items()}
+        etypes = {c: dkind(t) for c, t in con.sql(oracle[q]).df().dtypes.items()}
+        ok_dtype = gtypes == etypes
+        status = "OK" if ok_hash and ok_dtype else "FAIL"
+        if ok_hash and not ok_dtype:
+            failures += 1
+            diff = {c: (gtypes.get(c), etypes.get(c))
+                    for c in set(gtypes) | set(etypes)
+                    if gtypes.get(c) != etypes.get(c)}
+            print(f"[FAIL] {q}: dtype mismatch (spark vs oracle): {diff}")
+        elif not ok_hash:
             failures += 1
             print(f"[{status}] {q}: schema={ok_schema} ({sorted(gcols)} vs {sorted(ecols)}) rows={len(grows)}/{len(erows)}")
+            if not ok_dtype:
+                diff = {c: (gtypes.get(c), etypes.get(c))
+                        for c in set(gtypes) | set(etypes)
+                        if gtypes.get(c) != etypes.get(c)}
+                print(f"  dtype diff (spark vs oracle): {diff}")
             if ok_schema and ok_rows:
                 # show first differing row pair
                 g = sorted(canon(grows, gcols).split("\x1e"))
