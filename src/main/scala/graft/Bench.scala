@@ -76,21 +76,30 @@ object Bench {
       if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = benchQueries.map { case (name, fn) =>
-      // warm pass first (plan + codegen + JIT), then the timed pass —
-      // steady-state latency is what a resident engine serves
+      // warm pass first (plan + codegen + JIT), then BEST-OF-3 timed
+      // passes — steady-state latency is what a resident engine serves,
+      // and on this shared VM a single sample has swung individual
+      // queries 8-10x between rounds with unchanged code (r3 verdict:
+      // search_topk 0.29->2.84 s, ngram_jaccard 6.8->16.7 s phantom
+      // regressions). min-of-3 reports the plan's cost, not the host's
+      // contention weather, mirroring the min-of-2 the extract scaling
+      // section already uses.
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val t0 = System.nanoTime()
-      // a query failing the timed pass is recorded as -1, never as a
+      // a query failing a timed pass is recorded as -1, never as a
       // fast success
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors += name -> e.toString.take(200)
-          name -> -1.0
+      val timings = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.toString.take(200))
+            -1.0
+        }
       }
+      name -> (if (timings.contains(-1.0)) -1.0 else timings.min)
     }
     spark.stop()
 
