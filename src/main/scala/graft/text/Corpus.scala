@@ -251,12 +251,22 @@ object Corpus {
       .collect()
     require(hotRows.length <= maxHotLines,
       s"hot-line set exceeds maxHotLines=$maxHotLines — raise the cap or minDocs")
-    val hot = typedLit(hotRows.map(_.getString(0)).toSeq.sorted)
+    // the probe is a BROADCAST hash set, not a plan literal: a typedLit
+    // array near the 100k cap embeds megabytes into the plan/codegen
+    // source and costs O(|hot|) linear array_contains per line — the
+    // broadcast ships once per executor (torrent) and each line probes
+    // in O(1). One whole-array UDF call per doc (not per line) keeps
+    // the per-row overhead a single invocation; null text stays null,
+    // matching the HOF semantics it replaces.
+    val hotBc = docs.sparkSession.sparkContext
+      .broadcast(hotRows.map(_.getString(0)).toSet)
+    val keepLines = udf { ls: Seq[String] =>
+      if (ls == null) null else ls.filterNot(hotBc.value.contains)
+    }
     // kept lines staged once (the repetitionStats lesson — selected
     // twice in one projection, the filter would run per reference)
     staged
-      .select(col("doc_id"), col("ls"),
-        filter(col("ls"), l => !array_contains(hot, l)).as("kept"))
+      .select(col("doc_id"), col("ls"), keepLines(col("ls")).as("kept"))
       .select(col("doc_id"),
         (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), "\n").as("cleaned"))

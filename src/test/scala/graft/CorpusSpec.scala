@@ -216,6 +216,25 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("removeBoilerplateLines: hot set at the cap rides a broadcast, not a plan literal") {
+    import spark.implicits._
+    // 2000 hot lines, cap exactly 2000: every line must still be
+    // dropped AND none of them may appear embedded in the plan — the
+    // probe is a broadcast set, not a typedLit array (which near the
+    // 100k default cap would inline megabytes into codegen)
+    val hotN = 2000
+    val hotLines = (0 until hotN).map(i => f"HOT_$i%05d")
+    val body = hotLines.mkString("\n")
+    val docs = (1L to 3L).map(i => (i, s"$body\nunique $i")).toDF("doc_id", "text")
+    val got = Corpus.removeBoilerplateLines(docs, "doc_id", "text",
+      minDocs = 3, maxHotLines = hotN)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("HOT_00000"), "hot line leaked into the plan as a literal")
+    val rows = got.as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq.fill(3)(hotN.toLong))
+    assert(rows.map(_._3).toSeq == Seq("unique 1", "unique 2", "unique 3"))
+  }
+
   test("BottomKAgg = k smallest distinct values, partition-independent") {
     import spark.implicits._
     import graft.text.BottomK
