@@ -56,11 +56,20 @@ object Validation {
     * first would collapse `root/L/../x` to `root/x` even when L is a
     * symlink out of the root — the OS (and the reference) resolve L
     * first, so `..` climbs from the link *target*. Segments that do
-    * not exist yet (or a symlink loop) fall back to lexical appends,
-    * matching strict=False.
+    * not exist yet fall back to lexical appends, matching
+    * strict=False — but an EXISTING symlink whose target does not
+    * exist yet (toRealPath throws for it too) is still FOLLOWED, like
+    * os.path.realpath: falling back to the lexical path there would
+    * pass the sandbox check while a later write through the link
+    * lands outside the root. Link-follow depth is bounded like the
+    * kernel's ELOOP (40); past it the lexical path stands.
     */
-  def resolvePosix(path: String): java.nio.file.Path = {
-    val abs = java.nio.file.Paths.get(path).toAbsolutePath
+  private val MaxSymlinkDepth = 40
+
+  def resolvePosix(path: String): java.nio.file.Path =
+    resolveWalk(java.nio.file.Paths.get(path).toAbsolutePath, 0)
+
+  private def resolveWalk(abs: java.nio.file.Path, depth: Int): java.nio.file.Path = {
     var cur = abs.getRoot
     val it = abs.iterator()
     while (it.hasNext) {
@@ -72,8 +81,20 @@ object Validation {
       } else {
         val cand = cur.resolve(seg)
         cur =
-          try cand.toRealPath() // resolves the symlink when it exists
-          catch { case _: java.io.IOException => cand } // not yet created
+          try cand.toRealPath() // resolves the symlink when its target exists
+          catch {
+            case _: java.io.IOException =>
+              if (depth < MaxSymlinkDepth &&
+                  java.nio.file.Files.isSymbolicLink(cand)) {
+                // dangling (or looping) link: follow its target and
+                // re-resolve it component-wise — the target may itself
+                // contain `..` or further links
+                val t = java.nio.file.Files.readSymbolicLink(cand)
+                val target =
+                  if (t.isAbsolute) t else cand.getParent.resolve(t)
+                resolveWalk(target, depth + 1)
+              } else cand // not yet created (or depth exhausted)
+          }
       }
     }
     cur

@@ -69,6 +69,30 @@ class ValidationSpec extends AnyFunSuite {
       outside.toRealPath().getParent.resolve("esc.pdf"))
   }
 
+  test("sandbox: a DANGLING symlink escaping the root is rejected (write-through escape)") {
+    val root = java.nio.file.Files.createTempDirectory("sbx3").toString
+    val outside = java.nio.file.Files.createTempDirectory("out3")
+    // link target does NOT exist yet — toRealPath throws for it, but a
+    // later write through the link would CREATE the file outside the
+    // root, so resolution must still follow the link (realpath
+    // semantics), not fall back to the lexical path under root
+    val link = java.nio.file.Paths.get(root, "dangling")
+    java.nio.file.Files.createSymbolicLink(link,
+      outside.resolve("not_yet_created.pdf"))
+    assert(!Validation.validateSandboxed(s"$root/dangling", Seq(root)).isValid)
+    // a dangling link whose target stays INSIDE the root remains valid
+    val inLink = java.nio.file.Paths.get(root, "inside")
+    java.nio.file.Files.createSymbolicLink(inLink,
+      java.nio.file.Paths.get(root, "later.pdf"))
+    assert(Validation.validateSandboxed(s"$root/inside", Seq(root)).isValid)
+    // a dangling-link LOOP terminates at the depth bound, not an error
+    val a = java.nio.file.Paths.get(root, "loop_a")
+    val b = java.nio.file.Paths.get(root, "loop_b")
+    java.nio.file.Files.createSymbolicLink(a, b)
+    java.nio.file.Files.createSymbolicLink(b, a)
+    assert(Validation.validateSandboxed(s"$root/loop_a", Seq(root)).isValid)
+  }
+
   test("sandbox: resolved path must be under an allowed root") {
     assert(validateSandboxed("/tmp/a/../b.pdf", Seq("/tmp")).isValid)
     assert(!validateSandboxed("/tmp/../etc/passwd", Seq("/tmp")).isValid)
