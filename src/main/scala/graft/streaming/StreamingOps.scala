@@ -102,6 +102,24 @@ object StreamingOps {
     // re-computed every micro-batch
     val benchGrams =
       graft.text.Corpus.benchmarkGrams(bench, textCol, n).persist()
+    // release the cached static side once streaming winds down —
+    // without this every call leaked one cached dataset for the
+    // session's lifetime (a long-running driver accumulates them).
+    // Unpersist is performance-only (a later/running query just
+    // recomputes the static side per micro-batch), so firing when the
+    // LAST active query terminates is safe even if that query was an
+    // unrelated stream.
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (spark.streams.active.isEmpty) {
+          benchGrams.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
     spark.readStream.schema(schema).parquet(docsDir)
       .select(col(idCol).as("doc_id"),
         explode(graft.text.TextExprs.shingleHashes(

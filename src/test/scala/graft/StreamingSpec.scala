@@ -92,6 +92,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.forall { case (id, _) => id % 3 == 0 })
+    // the cached static side must be RELEASED once streaming winds
+    // down (the termination listener) — each call used to leak one
+    // cached dataset for the session's lifetime. Listener dispatch is
+    // async, so poll briefly.
+    val deadline = System.nanoTime() + 5000000000L
+    while (!spark.sharedState.cacheManager.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "benchGrams cache not unpersisted after the last streaming query stopped")
   }
 
   test("stateful streaming dedup: first-seen per digest, matches batch exact dedup") {
