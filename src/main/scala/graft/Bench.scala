@@ -103,6 +103,17 @@ object Bench {
     }
     spark.stop()
 
+    // queries-only mode: the back-to-back per-query spread check
+    // (BASELINE.md protocol) doesn't need the multi-minute scaling
+    // sections re-run
+    if (sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val total0 = results.map(_._2).filter(_ >= 0).sum
+      println(f"""{"metric":"per-query seconds (queries-only run)","value":$total0%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir","total_query_sec":$total0%.3f}""")
+      return
+    }
+
     // 2. scaling: same extraction job over the SAME corpus at N=8 and
     //    4N=32 threads (sandbox stand-in for N vs 4N executors)
     val lowCpus = 8

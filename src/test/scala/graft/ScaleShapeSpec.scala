@@ -361,6 +361,25 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
   }
 
+  test("suite sweep: EVERY registered query plans cartesian-free") {
+    // the targeted plan tests above pin the interesting shapes; this
+    // sweep is the structural floor for the whole contract surface — a
+    // future query that quietly plans a CartesianProduct or
+    // BroadcastNestedLoopJoin (the all-pairs scale-killers) fails here
+    // even without a dedicated test. Sole exception: the O(n²) recall
+    // BASELINE embed_neardup_exact, whose non-equi a_id < b_id join is
+    // intentional and hard-ceilinged at 100k rows by its own guard.
+    val allowedQuadratic = Set("embed_neardup_exact")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowedQuadratic)
+      .flatMap { name =>
+        val p = plan(SparkEntry.queries(name)(spark, sf))
+        if (p.contains("CartesianProduct") ||
+            p.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"queries planning cartesians: $offenders")
+  }
+
   test("IVF centroid training is cached per corpus snapshot") {
     graft.rag.AnnIvf.clearCentroidCache()
     val e = SparkEntry.embeddings(spark, sf)
