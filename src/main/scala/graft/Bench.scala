@@ -103,14 +103,20 @@ object Bench {
     }
     spark.stop()
 
+    // shared JSON fragments — built ONCE so the queries-only and full
+    // output paths cannot drift
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+
     // queries-only mode: the back-to-back per-query spread check
     // (BASELINE.md protocol) doesn't need the multi-minute scaling
     // sections re-run
     if (sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")) {
-      val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
-      val total0 = results.map(_._2).filter(_ >= 0).sum
-      println(f"""{"metric":"per-query seconds (queries-only run)","value":$total0%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir","total_query_sec":$total0%.3f}""")
+      println(f"""{"metric":"per-query seconds (queries-only run)","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","total_query_sec":$total%.3f}""")
       return
     }
 
@@ -164,12 +170,6 @@ object Bench {
         (Some(tps), json)
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     def f(d: Double) = f"$d%.3f"
     // HEADLINE = the executor-JVM fleet throughput (4×8-core worker
     // processes — the honest cluster analog). The single-JVM local[N]

@@ -49,14 +49,14 @@ object NgramProfile {
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
-        stages += StageRow(e.stageInfo.stageId,
+        stages.synchronized(stages += StageRow(e.stageInfo.stageId,
           e.stageInfo.name.takeWhile(_ != '\n').take(60),
           e.stageInfo.numTasks,
           m.executorRunTime, m.executorCpuTime / 1000000,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           (m.shuffleReadMetrics.localBytesRead +
             m.shuffleReadMetrics.remoteBytesRead) / 1e6,
-          m.memoryBytesSpilled / 1e6, m.diskBytesSpilled / 1e6)
+          m.memoryBytesSpilled / 1e6, m.diskBytesSpilled / 1e6))
       }
     }
 
@@ -68,21 +68,32 @@ object NgramProfile {
     run(); run() // warm: plan + codegen + JIT
     spark.sparkContext.addSparkListener(listener)
     val wall = run()
+    // stage-completed events arrive on the async listener-bus thread —
+    // count() returning does NOT mean the final (heaviest) stage's
+    // event was delivered. Poll until the table stops growing before
+    // detaching, or the totals under-count nondeterministically.
+    var last = -1; var stable = 0
+    while (stable < 6) { // 300 ms of no growth
+      val n = stages.synchronized(stages.size)
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      Thread.sleep(50)
+    }
     spark.sparkContext.removeSparkListener(listener)
+    val snap = stages.synchronized(stages.toVector)
 
     println(f"\n[ngram] wall ${wall}%.2f s at local[$cpus], $sfDir")
     println(f"[ngram] ${"stage"}%-62s ${"tasks"}%5s ${"run_ms"}%8s ${"cpu_ms"}%8s ${"shW_MB"}%7s ${"shR_MB"}%7s ${"spill_MB"}%8s")
-    stages.sortBy(_.id).foreach { s =>
+    snap.sortBy(_.id).foreach { s =>
       println(f"[ngram] ${s.id}%3d ${s.name}%-58s ${s.tasks}%5d ${s.runMs}%8d ${s.cpuMs}%8d ${s.shufWriteMb}%7.1f ${s.shufReadMb}%7.1f ${s.memSpillMb + s.diskSpillMb}%8.1f")
     }
-    val totRun = stages.map(_.runMs).sum
-    val totCpu = stages.map(_.cpuMs).sum
+    val totRun = snap.map(_.runMs).sum
+    val totCpu = snap.map(_.cpuMs).sum
     println(f"[ngram] total task run ${totRun / 1000.0}%.2f s, cpu ${totCpu / 1000.0}%.2f s, " +
       f"cpu/run ${totCpu.toDouble / totRun}%.2f (low ratio = scheduler/IO wait, " +
       "the contention-sensitivity signal)")
-    println(f"[ngram] shuffle write ${stages.map(_.shufWriteMb).sum}%.1f MB, " +
-      f"read ${stages.map(_.shufReadMb).sum}%.1f MB, " +
-      f"spill ${stages.map(s => s.memSpillMb + s.diskSpillMb).sum}%.1f MB")
+    println(f"[ngram] shuffle write ${snap.map(_.shufWriteMb).sum}%.1f MB, " +
+      f"read ${snap.map(_.shufReadMb).sum}%.1f MB, " +
+      f"spill ${snap.map(s => s.memSpillMb + s.diskSpillMb).sum}%.1f MB")
     spark.stop()
   }
 }

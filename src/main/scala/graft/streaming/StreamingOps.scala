@@ -106,15 +106,22 @@ object StreamingOps {
     // without this every call leaked one cached dataset for the
     // session's lifetime (a long-running driver accumulates them).
     // Unpersist is performance-only (a later/running query just
-    // recomputes the static side per micro-batch), so firing when the
-    // LAST active query terminates is safe even if that query was an
-    // unrelated stream.
+    // recomputes the static side per micro-batch), so the trigger can
+    // be conservative — but it must not fire BEFORE the caller's
+    // .start(): an unrelated stream terminating in the gap would
+    // discard the cache for this stream's whole lifetime. The listener
+    // therefore ARMS on the first query start observed after
+    // registration and releases when the last active query terminates.
+    // (If the caller never starts the returned frame, the cache lives
+    // until some other stream cycle fires the listener — callers
+    // wanting deterministic release can unpersist via the catalog.)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      @volatile private var armed = false
+      override def onQueryStarted(e: QueryStartedEvent): Unit = armed = true
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (spark.streams.active.isEmpty) {
+        if (armed && spark.streams.active.isEmpty) {
           benchGrams.unpersist()
           spark.streams.removeListener(this)
         }

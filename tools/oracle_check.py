@@ -25,7 +25,7 @@ def canon(rows, cols):
     out.sort()
     return "\x1e".join(out)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, partial=False):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     con = duckdb.connect()
@@ -33,6 +33,18 @@ def main(sf_dir, out_dir):
         name = os.path.basename(t)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
     failures = 0
+    # a query whose Verify dump is MISSING (it threw during the dump)
+    # must fail the gate, not silently skip the compare — otherwise a
+    # regression that breaks a query still exits 0. --partial tolerates
+    # it for single-query dev iteration (Verify's filter arg).
+    dumped = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+              if os.path.isdir(d)}
+    for q in sorted(set(oracle) - dumped):
+        if partial:
+            print(f"[skipped] {q}: no dump (partial mode)")
+        else:
+            failures += 1
+            print(f"[FAIL] {q}: oracle present but no Verify dump — query threw?")
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
@@ -56,6 +68,13 @@ def main(sf_dir, out_dir):
         # the pandas dtype of every oracle column equals the Spark
         # result's — this catches the whole class even when today's
         # values happen to stringify identically.
+        # (Deliberate 2x: the .df() re-executes each side. The pandas
+        # dtype depends on NULL PRESENCE in the result (nullable BIGINT
+        # -> float64 only when a null actually appears), so neither a
+        # LIMIT-0 probe nor the DBAPI description can stand in for the
+        # full execution, and deriving canon rows from the DataFrame
+        # would change the value channel fetchall has matched the
+        # driver on. Gate integrity is worth the wall time.
         # Int WIDTH never matters (str(1) is '1' for int8..int64 alike);
         # float32 vs float64 does (fetchall widens f32 with different
         # digits), so only integer kinds collapse.
@@ -95,4 +114,4 @@ def main(sf_dir, out_dir):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], partial="--partial" in sys.argv[3:])
