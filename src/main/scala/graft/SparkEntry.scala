@@ -285,6 +285,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 4)
     }),
+    // the bloom-prescreened twin: identical output (blooms have no
+    // false negatives; the exact semi-join removes the false
+    // positives), so it shares decontaminate's oracle — the gate
+    // proves the two-phase path loses nothing
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminateBloom(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4)
+    }),
     // Gopher-style repetition signals: duplicate-line fraction +
     // top-2-gram occurrence share, with the repetitive flag
     "repetition_stats" -> ((s, dir) =>
@@ -990,6 +1001,23 @@ object OracleSql {
        |    / greatest(len($sqlWords), 1)::DOUBLE AS mean_word_len
        |  FROM documents)""".stripMargin
 
+  // word 4-grams via list slicing (range is end-exclusive; slice is
+  // 1-based inclusive), distinct on the STRINGS before hashing —
+  // exactly the native kernel's order of operations. One definition,
+  // gated twice: decontaminate AND its bloom-prescreened twin.
+  private val decontaminateSql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' ')))) AS s
+       |  FROM w WHERE len(ws) >= 4),
+       |gh AS (SELECT doc_id, ${sqlHash("s")} AS g FROM g),
+       |bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 20 = 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM gh GROUP BY 1),
+       |hits AS (SELECT doc_id, count(*) AS n_hits
+       |  FROM gh SEMI JOIN bench USING (g)
+       |  WHERE doc_id % 20 <> 0 GROUP BY 1)
+       |SELECT doc_id, n_hits, n_grams, n_hits::DOUBLE / n_grams AS hit_frac
+       |FROM hits JOIN sizes USING (doc_id)""".stripMargin
+
   val textOps: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, " +
@@ -1193,21 +1221,11 @@ object OracleSql {
       (s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform($sqlWords, " +
         s"w -> ${sqlHash("w")} % 1000003)), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint " +
         "FROM documents"),
-    // word 4-grams via list slicing (range is end-exclusive; slice is
-    // 1-based inclusive), distinct on the STRINGS before hashing —
-    // exactly the native kernel's order of operations
-    "decontaminate" ->
-      (s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' ')))) AS s
-         |  FROM w WHERE len(ws) >= 4),
-         |gh AS (SELECT doc_id, ${sqlHash("s")} AS g FROM g),
-         |bench AS (SELECT DISTINCT g FROM gh WHERE doc_id % 20 = 0),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM gh GROUP BY 1),
-         |hits AS (SELECT doc_id, count(*) AS n_hits
-         |  FROM gh SEMI JOIN bench USING (g)
-         |  WHERE doc_id % 20 <> 0 GROUP BY 1)
-         |SELECT doc_id, n_hits, n_grams, n_hits::DOUBLE / n_grams AS hit_frac
-         |FROM hits JOIN sizes USING (doc_id)""".stripMargin),
+    "decontaminate" -> decontaminateSql,
+    // the bloom-prescreened twin is output-identical by construction
+    // (no false negatives + exact verify), so it is gated against the
+    // SAME oracle
+    "decontaminate_bloom" -> decontaminateSql,
     "repetition_stats" ->
       (s"""WITH base AS (SELECT doc_id,
          |    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS lines,

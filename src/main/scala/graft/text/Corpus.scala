@@ -66,6 +66,51 @@ object Corpus {
         (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
   }
 
+  /** Bloom-prescreened decontamination — the scale path for when the
+    * benchmark gram set outgrows an exact broadcast (the `broadcast`
+    * in [[decontaminate]] assumes benchmarks are MBs; a merged
+    * many-benchmark suite at billions of grams is gigabytes of exact
+    * longs but only ~1.2 GB of bloom bits at 1% fpp). Two phases:
+    *
+    *  1. PRESCREEN (map-side): a mergeable Bloom filter is built over
+    *     the benchmark gram hashes (`stat.bloomFilter`, distributed
+    *     treeAggregate) and shipped once per executor as a broadcast;
+    *     every training gram probes it in O(k) bit-tests. Survivors
+    *     are the true hits plus ~fpp of everything else, so the join
+    *     input shrinks from ALL train grams to ≈ hits + fpp·|grams|.
+    *  2. EXACT VERIFY: survivors semi-join the exact gram set — no
+    *     broadcast hint; AQE picks the strategy for whatever size the
+    *     benchmark actually is. Blooms have no false negatives, so
+    *     the output is IDENTICAL to [[decontaminate]] (same oracle),
+    *     the false positives having been removed by the exact join.
+    *
+    * The benchmark derivation runs three times (count, bloom build,
+    * exact join) — deliberately not persisted: the benchmark side is
+    * small by definition and the cache lifecycle of a lazily-returned
+    * frame is not worth the recompute (the decontaminateStream persist
+    * leak was exactly this trap).
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchGrams = benchmarkGrams(bench, textCol, n)
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloomBc = train.sparkSession.sparkContext
+      .broadcast(benchGrams.stat.bloomFilter("g", expected, fpp))
+    val mightContain = udf { g: Long => bloomBc.value.mightContain(g) }
+    val staged = train.select(col(idCol).as("doc_id"),
+      TextExprs.shingleHashes(col(textCol), distinct = true, n).as("gs"))
+    staged
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("g"))
+      .filter(mightContain(col("g")))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("n_grams").as("n_grams"))
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
+  }
+
   /** Repetition quality signals per document (Gopher §A1.1 shape):
     *   - dup_line_frac: fraction of non-empty trimmed lines that are
     *     duplicates of another line in the same doc,

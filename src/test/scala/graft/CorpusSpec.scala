@@ -216,6 +216,34 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("decontaminateBloom == decontaminate exactly, even at an absurd fpp") {
+    import spark.implicits._
+    // bloom prescreen + exact verify must lose NOTHING (no false
+    // negatives) and add NOTHING (the semi-join kills the false
+    // positives) — so the two-phase path is value-identical to the
+    // exact broadcast path at any fpp. fpp=0.4 floods the verify
+    // phase with false positives on purpose.
+    val docs = (0L until 60L).map { i =>
+      val text =
+        if (i % 5 == 0) s"the quick brown fox jumps over the lazy dog $i"
+        else s"totally unrelated content string number $i nothing shared here $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Corpus.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloom = Corpus.decontaminateBloom(train, bench, "doc_id", "text",
+        n = 4, fpp = fpp).as[(Long, Long, Long, Double)].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp diverged from the exact path")
+    }
+    assert(exact.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Corpus.decontaminateBloom(train, bench, "doc_id", "text", fpp = 0.0)
+    }
+  }
+
   test("removeBoilerplateLines: hot set at the cap rides a broadcast, not a plan literal") {
     import spark.implicits._
     // 2000 hot lines, cap exactly 2000: every line must still be
