@@ -22,7 +22,8 @@ object PlanAudit {
       "embed_neardup", "delete_document", "search_topk_filtered",
       "tpch_pricing", "tpch_top_orders", "tpch_region_stats", "ivf_assign",
       "ngram_jaccard", "simhash_pairs", "sessionize", "asof_join",
-      "ann_ivfpq", "pq_encode", "decontaminate", "repetition_stats",
+      "ann_ivfpq", "pq_encode", "decontaminate", "decontaminate_bloom",
+      "repetition_stats",
       "distinctive_terms", "corpus_rollup", "group_percentiles")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
