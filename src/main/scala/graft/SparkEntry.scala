@@ -133,10 +133,10 @@ object SparkEntry {
     // pandas comparator cannot sort/hash array columns, and the
     // exploded form is lossless (every dim value compared bit-exact)
     "embed_docs" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        posexplode(HashEmbedder.embedding(col("text"))))
+      graft.util.Staged.posexplodeOnce(docs(s, dir), Seq(col("doc_id")),
+        HashEmbedder.embedding(col("text")), "pos", "value")
         .select(col("doc_id"), col("pos").cast("long").as("dim"),
-          col("col").as("value"))),
+          col("value"))),
     "search_topk" -> ((s, dir) =>
       TopK.search(embeddings(s, dir), Queries.queryVec(s, dir), k = 20)
         .select("vec_id", "score")),
@@ -353,7 +353,8 @@ object SparkEntry {
     // TakeOrderedAndProject — never a global sort)
     "vocab_top" -> ((s, dir) =>
       docs(s, dir)
-        .select(explode(array_distinct(Dedup.wordsCol(lower(col("text"))))).as("term"))
+        .transform(d => graft.util.Staged.explodeOnce(d, Seq.empty,
+          array_distinct(Dedup.wordsCol(lower(col("text")))), "term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term").asc)
         .limit(25)),

@@ -127,10 +127,10 @@ object StreamingOps {
         }
     }
     spark.streams.addListener(listener)
-    spark.readStream.schema(schema).parquet(docsDir)
-      .select(col(idCol).as("doc_id"),
-        explode(graft.text.TextExprs.shingleHashes(
-          col(textCol), distinct = true, n)).as("g"))
+    graft.util.Staged.explodeOnce(
+      spark.readStream.schema(schema).parquet(docsDir),
+      Seq(col(idCol).as("doc_id")),
+      graft.text.TextExprs.shingleHashes(col(textCol), distinct = true, n), "g")
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))

@@ -44,9 +44,8 @@ object Corpus {
     * gram widths drift once)
     */
   def benchmarkGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
-    bench
-      .select(explode(TextExprs.shingleHashes(col(textCol), distinct = true, n))
-        .as("g"))
+    graft.util.Staged.explodeOnce(bench, Seq.empty,
+      TextExprs.shingleHashes(col(textCol), distinct = true, n), "g")
       .distinct()
 
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
@@ -56,9 +55,8 @@ object Corpus {
     // size() selected beside explode would re-run the kernel per gram)
     val staged = train.select(col(idCol).as("doc_id"),
       TextExprs.shingleHashes(col(textCol), distinct = true, n).as("gs"))
-    staged
-      .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        explode(col("gs")).as("g"))
+    graft.util.Staged.explodeOnce(staged,
+      Seq(col("doc_id"), size(col("gs")).as("n_grams")), col("gs"), "g")
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min("n_grams").as("n_grams"))
@@ -100,9 +98,8 @@ object Corpus {
     val mightContain = udf { g: Long => bloomBc.value.mightContain(g) }
     val staged = train.select(col(idCol).as("doc_id"),
       TextExprs.shingleHashes(col(textCol), distinct = true, n).as("gs"))
-    staged
-      .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        explode(col("gs")).as("g"))
+    graft.util.Staged.explodeOnce(staged,
+      Seq(col("doc_id"), size(col("gs")).as("n_grams")), col("gs"), "g")
       .filter(mightContain(col("g")))
       .join(benchGrams, Seq("g"), "left_semi")
       .groupBy("doc_id")
@@ -287,8 +284,8 @@ object Corpus {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = filter(split(col(textCol), "\n"), l => l =!= "")
     val staged = docs.select(col(idCol).as("doc_id"), lines.as("ls"))
-    val hotRows = staged
-      .select(explode(array_distinct(col("ls"))).as("line"))
+    val hotRows = graft.util.Staged.explodeOnce(staged, Seq.empty,
+        array_distinct(col("ls")), "line")
       .groupBy("line").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("line")
@@ -334,13 +331,13 @@ object Corpus {
       k: Int = 256, maxGroups: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sketches = docs
-      // NULL group keys are excluded up front (they would NPE the
-      // driver sort and the oracle's a.g < b.g silently drops them —
-      // a null slice has no defined similarity)
-      .filter(col(groupCol).isNotNull)
-      .select(col(groupCol).cast("string").as("g"),
-        explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
+    // NULL group keys are excluded up front (they would NPE the
+    // driver sort and the oracle's a.g < b.g silently drops them —
+    // a null slice has no defined similarity)
+    val sketches = graft.util.Staged.explodeOnce(
+      docs.filter(col(groupCol).isNotNull),
+      Seq(col(groupCol).cast("string").as("g")),
+      TextExprs.shingleHashes(col(textCol), distinct = true), "sh")
       .groupBy("g").agg(BottomK.bottomK(col("sh"), k).as("sk"))
       .limit(maxGroups + 1)
       .collect()
@@ -419,9 +416,9 @@ object Corpus {
     // both cases, so token boundaries are unchanged), but lower(text)
     // and regexp_extract_all are codegen expressions while
     // transform(words, lower) is an interpreted per-element HOF
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(Dedup.wordsCol(lower(col(textCol)))).as("term"))
+    val tf = graft.util.Staged.explodeOnce(docs,
+      Seq(col(idCol).as("doc_id")),
+      Dedup.wordsCol(lower(col(textCol))), "term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

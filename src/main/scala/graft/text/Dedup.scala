@@ -207,14 +207,21 @@ object Dedup {
     pairs
   }
 
-  /** (id, sig) → exploded (id, band, key) band table */
+  /** (id, sig) → exploded (id, band, key) band table. An empty
+    * signature (<3-word doc) yields key "" in EVERY band (concat_ws
+    * over an empty slice); such rows are dropped here — on the
+    * exploded attribute, after the Generate, where the predicate
+    * cannot be pushed into a kernel re-evaluation. A real signature's
+    * key is 4 comma-joined longs, never "".
+    */
   private def bandsOf(sigs: DataFrame): DataFrame =
-    sigs.select(col("id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+    graft.util.Staged.explodeOnce(sigs, Seq(col("id")),
+      transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"),
           concat_ws(",", slice(col("sig"), b * lit(RowsPerBand) + 1,
-            lit(RowsPerBand))).as("key")))).as("bk"))
+            lit(RowsPerBand))).as("key"))), "bk")
       .select(col("id"), col("bk.band"), col("bk.key"))
+      .filter(col("key") =!= "")
 
   /** Incremental-ingest dedup: candidate near-dup pairs between a NEW
     * batch and the EXISTING corpus — the `add_documents` flow at scale
@@ -241,15 +248,19 @@ object Dedup {
       .select("batch_id", "corpus_id").distinct()
   }
 
-  /** per-doc MinHash signatures (native kernel, full parallelism,
-    * <3-word docs dropped) — the ONE construction shared by the full
-    * and incremental pair paths
+  /** per-doc MinHash signatures (native kernel, full parallelism) —
+    * the ONE construction shared by the full and incremental pair
+    * paths. <3-word docs (empty signature) are NOT dropped here: a
+    * `size(sig) > 0` filter on the aliased projection gets pushed
+    * below it by predicate pushdown, re-evaluating the kernel per row
+    * (plan-asserted in ScaleShapeSpec); [[bandsOf]] drops them on the
+    * exploded band key instead, where the test is a cheap attribute
+    * comparison.
     */
   private def sigsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     spread(docs)
       .select(col(idCol).as("id"),
         TextExprs.minhashSig(col(textCol)).as("sig"))
-      .filter(size(col("sig")) > 0)
 
   /** band table → distinct candidate pairs (equi-join on the bucket) */
   private def bandCandidates(bands: DataFrame): DataFrame = {
@@ -571,9 +582,9 @@ object Dedup {
     // moves 8-byte longs instead of ~25-byte strings, and join equality
     // is integer comparison. A 2^-60 collision merges two shingles —
     // negligible, and mirrored exactly by the oracle's identical hash.
-    val all = spread(docs)
-      .select(col(idCol).as("id"),
-        explode(TextExprs.shingleHashes(col(textCol), distinct = true)).as("sh"))
+    val all = graft.util.Staged.explodeOnce(spread(docs),
+      Seq(col(idCol).as("id")),
+      TextExprs.shingleHashes(col(textCol), distinct = true), "sh")
     // df-cap via agg + anti-join: the df aggregate combines map-side
     // (shuffles (sh, partial-count), never full rows) and the hot list
     // is small (≤ |index|/maxDf), so AQE broadcasts it and hot rows are

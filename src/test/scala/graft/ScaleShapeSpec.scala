@@ -361,6 +361,37 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
   }
 
+  test("no native kernel is re-evaluated inside a Filter (InferFiltersFromGenerate)") {
+    // explode(kernel(text)) lets Catalyst infer `size(kernel)>0 AND
+    // isnotnull(kernel)` below the Generate and push it through the
+    // staging alias — the kernel then runs 3x per row (FilterExec has
+    // no subexpression elimination). Staged.explodeOnce (explode_outer
+    // + output-attribute filter) defeats the inference; this test pins
+    // that no kernel name ever appears in a physical Filter condition.
+    val kernels = Seq("shinglehashes", "minhashsig", "hashembed",
+      "simhash", "wordstats")
+    val plans = Map(
+      "ngram_lazy" -> plan(Dedup.ngramJaccard(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        0.8, materialize = false)),
+      "minhash_lazy" -> plan(Dedup.minhashPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        materialize = false)),
+      "decontaminate" -> plan(SparkEntry.queries("decontaminate")(spark, sf)),
+      "decontaminate_bloom" -> plan(SparkEntry.queries("decontaminate_bloom")(spark, sf)),
+      "embed_docs" -> plan(SparkEntry.queries("embed_docs")(spark, sf)),
+      "vocab_top" -> plan(SparkEntry.queries("vocab_top")(spark, sf)),
+      "distinctive_terms" -> plan(SparkEntry.queries("distinctive_terms")(spark, sf)))
+    for ((name, p) <- plans) {
+      val badConds = p.linesIterator
+        .filter(_.trim.startsWith("Condition"))
+        .filter(l => kernels.exists(l.toLowerCase.contains))
+        .toList
+      assert(badConds.isEmpty,
+        s"$name re-evaluates a kernel in a Filter:\n${badConds.mkString("\n")}")
+    }
+  }
+
   test("suite sweep: EVERY registered query plans cartesian-free") {
     // the targeted plan tests above pin the interesting shapes; this
     // sweep is the structural floor for the whole contract surface — a
