@@ -165,8 +165,11 @@ object MultiProcBench {
       (t, th)
     }
     counters.foreach(_._2.join())
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"SPIN ${counters.map(_._1.get).sum} $secs%.3f")
+    // elapsed printed as integer NANOS: an f-interpolated float uses
+    // the default locale's decimal separator, which a comma-locale JVM
+    // would render unparseable to the parent's toDouble
+    val nanos = System.nanoTime() - t0
+    println(s"SPIN ${counters.map(_._1.get).sum} $nanos")
     Console.out.flush()
   }
 
@@ -197,8 +200,9 @@ object MultiProcBench {
       var line = o.readLine()
       while (line != null && !line.startsWith("SPIN")) line = o.readLine()
       p.waitFor()
+      require(line != null, "spin worker died before SPIN")
       val parts = line.split(" ")
-      parts(1).toLong / parts(2).toDouble
+      parts(1).toLong / (parts(2).toLong / 1e9)
     }.sum
   }
 

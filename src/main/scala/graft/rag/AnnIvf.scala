@@ -151,8 +151,11 @@ object AnnIvf {
       embeddingCol: String): Seq[Array[Double]] = {
     val sample = emb
       .select(col(embeddingCol).cast("array<double>").as("v"),
-        xxhash64(col(keyCol)).as("h"))
-      .orderBy(col("h")) // TakeOrdered: per-partition heap, no full sort
+        xxhash64(col(keyCol)).as("h"), col(keyCol).as("k"))
+      // TakeOrdered: per-partition heap, no full sort. Key tiebreak
+      // (as in AnnPq) so an xxhash64 collision at the sample boundary
+      // cannot make the training set partition-layout-dependent.
+      .orderBy(col("h"), col("k"))
       .limit(maxSample)
       .collect().map(_.getSeq[Double](0).toArray).map(normalize)
     require(sample.nonEmpty, "k-means needs a non-empty corpus")

@@ -38,9 +38,9 @@ object Staged {
     */
   def posexplodeOnce(df: DataFrame, keep: Seq[Column], arr: Column,
       posAs: String, as: String): DataFrame =
-    // posexplode_outer surfaces as two columns named (pos, col)
-    df.select(keep :+ posexplode_outer(arr): _*)
-      .withColumnRenamed("pos", posAs)
-      .withColumnRenamed("col", as)
+    // generator multi-alias names both outputs in ONE projection —
+    // a withColumnRenamed("pos", ...) would also capture any kept
+    // column that happens to be named "pos"/"col"
+    df.select(keep :+ posexplode_outer(arr).as(Seq(posAs, as)): _*)
       .filter(col(as).isNotNull)
 }

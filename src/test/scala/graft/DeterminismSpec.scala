@@ -14,10 +14,11 @@ import org.scalatest.BeforeAndAfterAll
   * splits — so any result that depends on it is a latent flaky
   * production diff, even if today's single-layout oracle gate passes.
   *
-  * Excluded: the kmeans/PQ family trains on `df.sample`, whose row
-  * selection is partition-layout-dependent BY DESIGN (seeded
-  * per-partition sampling); their correctness is gated by the
-  * runtime-inlined centroid/codebook oracles instead.
+  * The kmeans/PQ family is INCLUDED: its training sample is
+  * xxhash64-ordered TakeOrdered with a key tiebreak (AnnIvf/AnnPq),
+  * which is layout-invariant, so the trained centroids/codebooks must
+  * be too (centroid caches are cleared between layouts so training
+  * genuinely re-runs).
   */
 class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -32,8 +33,6 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private val trainingSampled = Set("ann_ivf_kmeans", "ann_ivfpq", "pq_encode")
-
   private def canonAll(names: Seq[String]): Map[String, Seq[String]] =
     names.map { n =>
       n -> SparkEntry.queries(n)(spark, sf).collect()
@@ -41,7 +40,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
 
   test("every query is invariant to scan splits and shuffle partitioning") {
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(trainingSampled)
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // layout A: many tiny scan splits, small odd shuffle count
     spark.conf.set("spark.sql.shuffle.partitions", "5")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
