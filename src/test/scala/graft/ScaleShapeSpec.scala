@@ -361,6 +361,28 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
   }
 
+  test("Staged.explodeOnce == inner explode for empty/null arrays and keeps keep-cols") {
+    import spark.implicits._
+    import graft.util.Staged
+    val df = Seq(
+      (1L, Seq(10L, 20L)),
+      (2L, Seq.empty[Long]), // inner explode drops — so must we
+      (3L, null.asInstanceOf[Seq[Long]]), // ditto for null arrays
+      (4L, Seq(30L))).toDF("id", "arr")
+    val viaOnce = Staged.explodeOnce(df, Seq(col("id")), col("arr"), "v")
+      .as[(Long, Long)].collect().toSet
+    val viaInner = df.select(col("id"), explode(col("arr")).as("v"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaOnce == viaInner && viaOnce == Set((1L, 10L), (1L, 20L), (4L, 30L)))
+    val posDf = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("pos", "arr") // keep col NAMED "pos" — must not be captured
+    val viaPos = Staged.posexplodeOnce(posDf, Seq(col("pos").as("keep")),
+      col("arr"), "p", "v")
+    assert(viaPos.columns.toSeq == Seq("keep", "p", "v"))
+    assert(viaPos.as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 0, "a"), (1L, 1, "b")))
+  }
+
   test("no native kernel is re-evaluated inside a Filter (InferFiltersFromGenerate)") {
     // explode(kernel(text)) lets Catalyst infer `size(kernel)>0 AND
     // isnotnull(kernel)` below the Generate and push it through the
