@@ -363,6 +363,11 @@ object SparkEntry {
       Corpus.stratifiedSample(docs(s, dir), "doc_id", "lang",
         rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
         defaultRate = 0.05).select("doc_id", "lang")),
+    // fixed-mixture domain sampling: downsample per language so output
+    // token shares hit the target mix at the largest achievable size
+    "mixture_sample" -> ((s, dir) =>
+      Corpus.mixtureSample(docs(s, dir), "doc_id", "lang", "text",
+        targets = Map("en" -> 0.55, "de" -> 0.3, "fr" -> 0.15))),
     // corpus census: (lang, source) grouping sets in one Expand+agg
     "corpus_rollup" -> ((s, dir) =>
       Corpus.compositionRollup(docs(s, dir), "lang", "source", "n_chars")),
@@ -1110,6 +1115,21 @@ object OracleSql {
          |  CASE WHEN lang = 'de' THEN ${t(0.25)} WHEN lang = 'en' THEN ${t(0.5)}
          |       WHEN lang = 'fr' THEN ${t(0.1)} ELSE ${t(0.05)} END""".stripMargin
     },
+    // mixture sampling: the rate derivation (S = min T/w; r = w*S/T;
+    // thr = floor(r*2^60)) re-runs in SQL with the SAME IEEE-double
+    // operation order as the Spark columns; 2^60 carries the e0 suffix
+    // so DuckDB parses it as DOUBLE, not DECIMAL(19,0)
+    "mixture_sample" ->
+      (s"""WITH n AS (SELECT doc_id, lang AS grp,
+         |    len(regexp_extract_all(text, '${graft.chunk.Tokenizer.TokenRegex}'))::BIGINT AS n_tokens,
+         |    CASE WHEN lang = 'de' THEN 0.3 WHEN lang = 'en' THEN 0.55
+         |         WHEN lang = 'fr' THEN 0.15 END AS w
+         |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+         |tot AS (SELECT grp, sum(n_tokens)::DOUBLE AS t, max(w) AS w2 FROM n GROUP BY 1),
+         |s AS (SELECT min(t / w2) AS s FROM tot),
+         |r AS (SELECT grp, CAST(floor(w2 * s.s / t * 1152921504606846976e0) AS BIGINT) AS thr FROM tot, s)
+         |SELECT n.doc_id, n.grp, n.n_tokens FROM n JOIN r USING (grp)
+         |WHERE ${TextOps.sqlSampleHash60("mix", "n.doc_id")} < r.thr""".stripMargin),
     // DuckDB regexp_replace needs the 'g' flag (default = first match
     // only, unlike Spark)
     "pii_redact" ->

@@ -211,6 +211,61 @@ object Corpus {
     docs.filter(TextOps.sampleHash60(col(idCol), salt) < t)
   }
 
+  /** Fixed-mixture domain sampling (the DoReMi-style curation step):
+    * given target TOKEN proportions per group (e.g. language/domain
+    * weights for a pretraining mix), downsample each group so the
+    * output mixture hits the targets exactly at the largest achievable
+    * size. With per-group token totals T_g and weights w_g, the
+    * binding group is argmin(T_g/w_g): the output total is
+    * S = min_g(T_g/w_g) and each group keeps rate r_g = w_g·S/T_g
+    * (= 1 for the binding group, up to an ulp). The keep decision
+    * rides the SAME deterministic 60-bit sha threshold basis as
+    * [[TextOps.sampleHash]]/[[stratifiedSample]] — stable across
+    * retries and partition layouts, reproduced bit-exactly by the
+    * DuckDB oracle.
+    *
+    * Scale shape: one combine-friendly agg for the totals (|groups|
+    * rows), the global min via an unpartitioned window over that tiny
+    * frame (NOT a cross join — a 1-row broadcast cross join plans a
+    * BroadcastNestedLoopJoin, which the plan sweep rightly forbids),
+    * then a broadcast join of the |groups|-row threshold table back
+    * onto the stream and a map-side hash probe. Groups absent from
+    * `targets` are excluded (weight 0).
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, targets: Map[String, Double],
+      salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
+      s"target weights must be positive finite, got $targets")
+    import org.apache.spark.sql.expressions.Window
+    // when-chain (not a map literal) so the oracle's CASE mirrors the
+    // exact expression and codegen stays simple
+    val wCol = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (g, w)) =>
+        when(col(groupCol) === g, lit(w)).otherwise(acc)
+      }
+    val nTokens = regexp_count(col(textCol),
+      lit(graft.chunk.Tokenizer.TokenRegex)).cast("long")
+    val staged = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        nTokens.as("n_tokens"), wCol.as("w"))
+      .filter(col("w").isNotNull)
+    val totals = staged.groupBy("grp")
+      .agg(sum(col("n_tokens")).cast("double").as("t"), max(col("w")).as("w2"))
+    // floor((w·S/T)·2^60) in doubles, the shared threshold domain; the
+    // multiplications/divisions are IEEE-exact in both engines and 2^60
+    // is a power of two, so the long threshold is engine-identical
+    val thresholds = totals
+      .withColumn("s", min(col("t") / col("w2")).over(Window.partitionBy()))
+      .select(col("grp"),
+        floor(col("w2") * col("s") / col("t") * lit(1152921504606846976.0))
+          .cast("long").as("thr"))
+    staged.join(broadcast(thresholds), Seq("grp"))
+      .filter(TextOps.sampleHash60(col("doc_id"), salt) < col("thr"))
+      .select(col("doc_id"), col("grp"), col("n_tokens"))
+  }
+
   /** Corpus composition rollup: (group, subgroup) grouping sets with
     * doc counts and a summed weight — the one-pass corpus census
     * (GROUP BY ROLLUP; Spark plans a single Expand + hash aggregate,

@@ -216,6 +216,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("mixtureSample: output token shares hit the targets, binding group kept whole") {
+    import spark.implicits._
+    // three groups with very different sizes; targets force heavy
+    // downsampling of the big groups while the scarcest-per-weight
+    // (binding) group is kept in full
+    def doc(g: String, i: Long) = (g * 1 + i.toString, g,
+      (1 to 20).map(j => s"tok$j w$i").mkString(" ")) // 40 tokens each
+    val docs = ((1L to 400L).map(doc("en", _)) ++ (1L to 100L).map(doc("de", _)) ++
+      (1L to 20L).map(doc("fr", _)) ++ Seq(("x1", "zz", "excluded group")))
+      .toDF("doc_id", "lang", "text")
+    val targets = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    val got = Corpus.mixtureSample(docs, "doc_id", "lang", "text", targets)
+      .as[(String, String, Long)].collect()
+    // binding group = argmin T/w = fr (800 tokens / 0.2 = 4000 <
+    // en 16000/0.5, de 4000/0.3): kept in full
+    assert(got.count(_._2 == "fr") == 20)
+    assert(!got.exists(_._2 == "zz")) // non-target groups excluded
+    // realized token shares within sampling noise of the targets
+    val byG = got.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val total = byG.values.sum
+    for ((g, w) <- targets)
+      assert(math.abs(byG(g) / total - w) < 0.08,
+        s"$g share ${byG(g) / total} vs target $w")
+    // deterministic: same input partitioned differently, same rows
+    val again = Corpus.mixtureSample(docs.repartition(7), "doc_id", "lang",
+      "text", targets).as[(String, String, Long)].collect()
+    assert(again.toSet == got.toSet)
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(docs, "doc_id", "lang", "text", Map("en" -> -0.1))
+    }
+  }
+
   test("decontaminateBloom == decontaminate exactly, even at an absurd fpp") {
     import spark.implicits._
     // bloom prescreen + exact verify must lose NOTHING (no false
