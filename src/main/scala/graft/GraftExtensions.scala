@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.rag.{DotProduct, HashEmbed, HashEmbedder, L2Normalize}
-import graft.text.{BottomKAgg, MinHashSig, ShingleHashes, SimHash60, TextOps, WordStats}
+import graft.text.{BottomKAgg, MinHashSig, NfcNormalize, ShingleHashes, SimHash60, TextOps, WordStats}
 
 /** SparkSessionExtensions hook: exposes the engine's custom Catalyst
   * expression in SQL, so the library's operators compose with plain
@@ -59,6 +59,8 @@ object GraftExtensions {
       checked("hash_embed", 1)(c => HashEmbed(c(0), HashEmbedder.Dim))),
     ("simhash60", classOf[SimHash60],
       checked("simhash60", 1)(c => SimHash60(c(0)))),
+    ("nfc_normalize", classOf[NfcNormalize],
+      checked("nfc_normalize", 1)(c => NfcNormalize(c(0)))),
     ("minhash_sig", classOf[MinHashSig],
       checked("minhash_sig", 1)(c => MinHashSig(c(0)))),
     ("shingle_hashes", classOf[ShingleHashes],

@@ -304,6 +304,16 @@ object SparkEntry {
     // so the score is an exact IEEE division both engines share)
     "distinctive_terms" -> ((s, dir) =>
       Corpus.distinctiveTerms(docs(s, dir), "doc_id", "text", k = 3)),
+    // normalization over a fixture that plants deterministic mess per
+    // doc (the corpus is clean ASCII — both engines build the same
+    // fixture): a decomposed accent (e + U+0301), CRLF, a bell control
+    // char, a tab run, double spaces, and outer whitespace
+    "normalize_text" -> ((s, dir) =>
+      Corpus.normalizeText(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("  caf"), lit("é "), col("text"),
+            lit("\r\nxy\t\tz  end ")).as("text")),
+        "doc_id", "text")),
     // PII scrub over a fixture that plants one email + one phone per
     // doc (the corpus has none — both engines build the same fixture)
     "pii_redact" -> ((s, dir) =>
@@ -1130,6 +1140,23 @@ object OracleSql {
          |r AS (SELECT grp, CAST(floor(w2 * s.s / t * 1152921504606846976e0) AS BIGINT) AS thr FROM tot, s)
          |SELECT n.doc_id, n.grp, n.n_tokens FROM n JOIN r USING (grp)
          |WHERE ${TextOps.sqlSampleHash60("mix", "n.doc_id")} < r.thr""".stripMargin),
+    // normalization: the SAME injected fixture (decomposed accent,
+    // CRLF, bell, tab run, double spaces, outer spaces), ICU
+    // nfc_normalize = JDK Normalizer NFC, Java∩RE2-safe classes,
+    // 'g' flag (DuckDB replaces first match only by default); both
+    // engines count length in CODEPOINTS (verified: e+U+0301 is 2)
+    "normalize_text" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    '  café ' || text || '\r\nxy\t\tz  end ' AS text FROM documents),
+         |n AS (SELECT doc_id, length(text)::BIGINT AS n_chars_before,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      nfc_normalize(text),
+         |      '\\r\\n?', chr(10), 'g'),
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '[ \\x09]+', ' ', 'g')) AS cleaned
+         |  FROM base)
+         |SELECT doc_id, n_chars_before, length(cleaned)::BIGINT AS n_chars_after, cleaned
+         |FROM n""".stripMargin),
     // DuckDB regexp_replace needs the 'g' flag (default = first match
     // only, unlike Spark)
     "pii_redact" ->

@@ -211,6 +211,32 @@ object Corpus {
     docs.filter(TextOps.sampleHash60(col(idCol), salt) < t)
   }
 
+  /** Text normalization — the C4/CCNet-style cleanup pass before
+    * tokenization, entirely map-side whole-stage codegen:
+    *   1. Unicode NFC (native [[TextExprs.nfcNormalize]] kernel; é and
+    *      e+combining-acute must tokenize/hash/dedup identically),
+    *   2. line endings folded (\r\n and bare \r → \n),
+    *   3. control characters stripped (C0 except \t\n, plus DEL),
+    *   4. space/tab runs collapsed to one space,
+    *   5. outer whitespace trimmed.
+    * Emits (doc_id, n_chars_before, n_chars_after, cleaned). The regex
+    * classes are Java∩RE2-safe (same pattern set as redactPii) so the
+    * DuckDB oracle replays them verbatim with the 'g' flag.
+    */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // staged: each step consumed once by the next (single projection
+    // chain; CollapseProject keeps it one codegen stage)
+    val nfc = TextExprs.nfcNormalize(col(textCol))
+    val eol = regexp_replace(nfc, "\\r\\n?", "\n")
+    val ctrl = regexp_replace(eol, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val spaces = regexp_replace(ctrl, "[ \\x09]+", " ")
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars_before"),
+      trim(spaces).as("cleaned"))
+      .select(col("doc_id"), col("n_chars_before"),
+        length(col("cleaned")).cast("long").as("n_chars_after"), col("cleaned"))
+  }
+
   /** Fixed-mixture domain sampling (the DoReMi-style curation step):
     * given target TOKEN proportions per group (e.g. language/domain
     * weights for a pretraining mix), downsample each group so the

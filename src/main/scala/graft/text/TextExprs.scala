@@ -175,6 +175,20 @@ object TextKernels {
     }
     out
   }
+
+  /** Unicode NFC normalization — the pre-tokenization canonical form
+    * (é as one codepoint and e + combining acute must tokenize, hash,
+    * and dedup identically). JDK Normalizer computes the same Unicode
+    * NFC the oracle's ICU `nfc_normalize` does. Fast path: an
+    * already-normalized string (all ASCII corpora) returns the input
+    * UTF8String without a copy.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** text → struct(n_words, sum_word_len, hits: array<int>) in one
@@ -272,6 +286,30 @@ case class MinHashSig(
       : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }
 
+/** text → Unicode-NFC text (native; no-copy fast path for already-
+  * normalized input).
+  */
+case class NfcNormalize(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireString(prettyName, child.dataType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.nfcNormalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.text.TextKernels$$.MODULE$$.nfcNormalize($a)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
 /** text → 60-bit SimHash (native one-pass). */
 case class SimHash60(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -316,4 +354,7 @@ object TextExprs {
 
   def simhash(text: Column): Column =
     toColumn(SimHash60(toExpression(text)))
+
+  def nfcNormalize(text: Column): Column =
+    toColumn(NfcNormalize(toExpression(text)))
 }

@@ -216,6 +216,26 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("normalizeText: NFC composes, control chars stripped, whitespace canonical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  café \r\nxy\t\tz  end "), // the full mess
+      (2L, "already clean"),
+      (3L, "Å vs Å"), // ANGSTROM SIGN and A+ring both NFC to U+00C5
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Corpus.normalizeText(docs, "doc_id", "text")
+      .as[(Long, Option[Long], Option[Long], Option[String])].collect().sortBy(_._1)
+    // BEL stripped (xy rejoins), tab run leaves one space before z
+    assert(got(0)._4.contains("café \nxy z end"))
+    assert(got(0)._2.contains(22L) && got(0)._3.contains(14L))
+    assert(got(1)._4.contains("already clean"))
+    assert(got(2)._4.contains("Å vs Å"))
+    assert(got(3)._4.isEmpty && got(3)._2.isEmpty) // null text stays null
+    // kernel fast path: already-NFC input returns the same values
+    assert(graft.text.TextKernels.nfcNormalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("plain")).toString == "plain")
+  }
+
   test("mixtureSample: output token shares hit the targets, binding group kept whole") {
     import spark.implicits._
     // three groups with very different sizes; targets force heavy

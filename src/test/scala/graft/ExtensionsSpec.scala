@@ -62,6 +62,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bk = spark.sql(
       "SELECT bottom_k(v, 3) FROM VALUES (9L),(1L),(5L),(1L),(7L) t(v)").head()
     assert(bk.getSeq[Long](0) == Seq(1L, 5L, 7L))
+    // nfc_normalize: decomposed e+U+0301 composes to é through SQL
+    val nn = spark.sql("SELECT nfc_normalize('café') AS s").head()
+    assert(nn.getString(0) == "café")
   }
 
   test("nearest_centroid fails loudly on dim mismatch and null elements") {
