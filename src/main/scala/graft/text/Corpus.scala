@@ -250,13 +250,17 @@ object Corpus {
     * retries and partition layouts, reproduced bit-exactly by the
     * DuckDB oracle.
     *
-    * Scale shape: one combine-friendly agg for the totals (|groups|
-    * rows), the global min via an unpartitioned window over that tiny
-    * frame (NOT a cross join — a 1-row broadcast cross join plans a
-    * BroadcastNestedLoopJoin, which the plan sweep rightly forbids),
-    * then a broadcast join of the |groups|-row threshold table back
-    * onto the stream and a map-side hash probe. Groups absent from
-    * `targets` are excluded (weight 0).
+    * Scale shape: one combine-friendly agg for the per-group token
+    * totals, collected to the driver (bounded at |targets| rows — the
+    * same bounded-collect rule as the IVF centroid tables), rates
+    * derived there (which is also where a zero-token or absent target
+    * group becomes a clear error instead of a silently empty or
+    * silently renormalized output), then ONE map-side filter over a
+    * threshold when-chain — no join, no window, the
+    * [[stratifiedSample]] plan with computed rates. The driver double
+    * math (w·S/T·2^60, floor) is the same IEEE sequence the oracle
+    * runs in SQL, so thresholds are engine-identical. Groups absent
+    * from `targets` are excluded (weight 0).
     */
   def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
       textCol: String, targets: Map[String, Double],
@@ -264,31 +268,39 @@ object Corpus {
     require(targets.nonEmpty, "targets must be non-empty")
     require(targets.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
       s"target weights must be positive finite, got $targets")
-    import org.apache.spark.sql.expressions.Window
     // when-chain (not a map literal) so the oracle's CASE mirrors the
     // exact expression and codegen stays simple
     val wCol = targets.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("double")) { case (acc, (g, w)) =>
         when(col(groupCol) === g, lit(w)).otherwise(acc)
       }
-    val nTokens = regexp_count(col(textCol),
-      lit(graft.chunk.Tokenizer.TokenRegex)).cast("long")
     val staged = docs
-      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
-        nTokens.as("n_tokens"), wCol.as("w"))
+      .select(col(idCol).as("doc_id"), col(groupCol).cast("string").as("grp"),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"), wCol.as("w"))
       .filter(col("w").isNotNull)
     val totals = staged.groupBy("grp")
-      .agg(sum(col("n_tokens")).cast("double").as("t"), max(col("w")).as("w2"))
-    // floor((w·S/T)·2^60) in doubles, the shared threshold domain; the
-    // multiplications/divisions are IEEE-exact in both engines and 2^60
-    // is a power of two, so the long threshold is engine-identical
-    val thresholds = totals
-      .withColumn("s", min(col("t") / col("w2")).over(Window.partitionBy()))
-      .select(col("grp"),
-        floor(col("w2") * col("s") / col("t") * lit(1152921504606846976.0))
-          .cast("long").as("thr"))
-    staged.join(broadcast(thresholds), Seq("grp"))
-      .filter(TextOps.sampleHash60(col("doc_id"), salt) < col("thr"))
+      .agg(sum(col("n_tokens")).cast("double").as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((g, _) <- targets) {
+      val t = totals.getOrElse(g,
+        throw new IllegalArgumentException(
+          s"mixtureSample: target group '$g' has no documents — its " +
+            "share is unreachable and the mixture would silently renormalize"))
+      require(t > 0, s"mixtureSample: target group '$g' has zero tokens — " +
+        "S = min(T/w) would be 0 and the whole output would be empty")
+    }
+    val s = targets.map { case (g, w) => totals(g) / w }.min
+    // floor((w·S/T)·2^60): above 2^52 every double is integral, so
+    // floor/toLong (and DuckDB's CAST(floor(..) AS BIGINT)) are exact
+    // and engine-identical
+    val thr = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(Long.MinValue)) { case (acc, (g, w)) =>
+        when(col("grp") === g,
+          lit(math.floor(w * s / totals(g) * 1152921504606846976.0).toLong))
+          .otherwise(acc)
+      }
+    staged
+      .filter(TextOps.sampleHash60(col("doc_id"), salt) < thr)
       .select(col("doc_id"), col("grp"), col("n_tokens"))
   }
 
@@ -460,11 +472,9 @@ object Corpus {
     // the window runs over the RENAMED projection below
     val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val nTokens = regexp_count(col(textCol),
-      lit(graft.chunk.Tokenizer.TokenRegex)).cast("long")
     docs
       .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
-        nTokens.as("n_tokens"))
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("grp"), col("n_tokens"),

@@ -179,15 +179,26 @@ object TextKernels {
   /** Unicode NFC normalization — the pre-tokenization canonical form
     * (é as one codepoint and e + combining acute must tokenize, hash,
     * and dedup identically). JDK Normalizer computes the same Unicode
-    * NFC the oracle's ICU `nfc_normalize` does. Fast path: an
-    * already-normalized string (all ASCII corpora) returns the input
-    * UTF8String without a copy.
+    * NFC the oracle's ICU `nfc_normalize` does.
+    *
+    * Fast path ordering matters on this map-side hot loop: ASCII bytes
+    * are NFC by construction, so a pure byte scan (no UTF-16 decode,
+    * no allocation at all) returns the input for the dominant all-ASCII
+    * case; only rows with a high byte pay the String round-trip, and
+    * of those, already-normalized ones still skip the second copy.
     */
   def nfcNormalize(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { ascii = s.getByte(i) >= 0; i += 1 }
+    if (ascii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
   }
 }
 

@@ -119,6 +119,15 @@ object TextOps {
   def sqlSampleHash60(salt: String, idExpr: String): String =
     s"CAST('0x'||substr(sha256('$salt|'||$idExpr),1,15) AS BIGINT)"
 
+  /** the regex token count of a text column — the ONE definition
+    * shared by packSequences and mixtureSample (their oracles both
+    * re-derive it as `len(regexp_extract_all(text, TokenRegex))`);
+    * like [[sampleHash60]], a single helper so the token basis cannot
+    * drift between the operators that must agree on it.
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit(graft.chunk.Tokenizer.TokenRegex)).cast("long")
+
   /** Group-wise top-k: the k best rows per group by (scoreCol desc,
     * idCol asc). A rank window over one exchange by group key — NOT a
     * global TakeOrdered (k is per group); at 100 TB the exchange

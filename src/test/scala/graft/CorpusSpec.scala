@@ -266,6 +266,20 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Corpus.mixtureSample(docs, "doc_id", "lang", "text", Map("en" -> -0.1))
     }
+    // an absent target group is an ERROR, not a silent renormalization
+    val absent = intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(docs, "doc_id", "lang", "text",
+        Map("en" -> 0.5, "nosuch" -> 0.5))
+    }
+    assert(absent.getMessage.contains("nosuch"))
+    // a zero-token target group is an ERROR, not a silently empty output
+    val zeroDocs = (docs.select(col("doc_id"), col("lang"), col("text"))
+      .union(Seq(("e1", "empty", ""), ("e2", "empty", " ")).toDF()))
+    val zero = intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(zeroDocs, "doc_id", "lang", "text",
+        Map("en" -> 0.5, "empty" -> 0.5))
+    }
+    assert(zero.getMessage.contains("zero tokens"))
   }
 
   test("decontaminateBloom == decontaminate exactly, even at an absurd fpp") {
