@@ -1149,10 +1149,10 @@ object OracleSql {
       (s"""WITH base AS (SELECT doc_id,
          |    '  café ' || text || '\r\nxy\t\tz  end ' AS text FROM documents),
          |n AS (SELECT doc_id, length(text)::BIGINT AS n_chars_before,
-         |    trim(regexp_replace(regexp_replace(regexp_replace(
-         |      nfc_normalize(text),
+         |    trim(regexp_replace(nfc_normalize(regexp_replace(regexp_replace(
+         |      text,
          |      '\\r\\n?', chr(10), 'g'),
-         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
          |      '[ \\x09]+', ' ', 'g')) AS cleaned
          |  FROM base)
          |SELECT doc_id, n_chars_before, length(cleaned)::BIGINT AS n_chars_after, cleaned

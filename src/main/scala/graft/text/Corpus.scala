@@ -213,12 +213,20 @@ object Corpus {
 
   /** Text normalization — the C4/CCNet-style cleanup pass before
     * tokenization, entirely map-side whole-stage codegen:
-    *   1. Unicode NFC (native [[TextExprs.nfcNormalize]] kernel; é and
+    *   1. line endings folded (\r\n and bare \r → \n),
+    *   2. control characters stripped (C0 except \t\n, plus DEL),
+    *   3. Unicode NFC (native [[TextExprs.nfcNormalize]] kernel; é and
     *      e+combining-acute must tokenize/hash/dedup identically),
-    *   2. line endings folded (\r\n and bare \r → \n),
-    *   3. control characters stripped (C0 except \t\n, plus DEL),
     *   4. space/tab runs collapsed to one space,
     *   5. outer whitespace trimmed.
+    * ORDER IS LOAD-BEARING for idempotence (property-tested): controls
+    * strip BEFORE NFC — deleting a control that sat between a base and
+    * a combining mark (e·BEL·◌́) makes them adjacent, so composing
+    * AFTER the strip reaches the canonical form in one pass, where the
+    * reverse order would leave a decomposed pair a second pass then
+    * composes. The later space edits cannot un-normalize: collapse
+    * keeps one space of every run and trim only removes edge spaces,
+    * neither of which enables a new composition.
     * Emits (doc_id, n_chars_before, n_chars_after, cleaned). The regex
     * classes are Java∩RE2-safe (same pattern set as redactPii) so the
     * DuckDB oracle replays them verbatim with the 'g' flag.
@@ -226,10 +234,10 @@ object Corpus {
   def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // staged: each step consumed once by the next (single projection
     // chain; CollapseProject keeps it one codegen stage)
-    val nfc = TextExprs.nfcNormalize(col(textCol))
-    val eol = regexp_replace(nfc, "\\r\\n?", "\n")
+    val eol = regexp_replace(col(textCol), "\\r\\n?", "\n")
     val ctrl = regexp_replace(eol, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    val spaces = regexp_replace(ctrl, "[ \\x09]+", " ")
+    val nfc = TextExprs.nfcNormalize(ctrl)
+    val spaces = regexp_replace(nfc, "[ \\x09]+", " ")
     docs.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars_before"),
       trim(spaces).as("cleaned"))

@@ -101,4 +101,36 @@ class CorpusPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._2 == "g0") == 100) // rate 1.0 keeps everything
     assert(!got.exists(_._2 == "g2")) // rate 0.0 keeps nothing
   }
+
+  test("normalizeText is idempotent and never grows the text (random messy docs)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // generator mixes the characters normalization exists for:
+    // combining marks, CR/LF, C0 controls, tab/space runs
+    val messyChar = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "), 1 -> Gen.const("\t"), 1 -> Gen.const("\r\n"),
+      1 -> Gen.const("́"), 1 -> Gen.const(""),
+      1 -> Gen.const("é"), 1 -> Gen.const("Å"))
+    val messyDoc = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, messyChar)).map(_.mkString)
+    check(6)(Prop.forAll(Gen.listOfN(10, messyDoc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Corpus.normalizeText(df, "doc_id", "text")
+      val onceRows = once.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._3, r._4))).toMap
+      val twice = Corpus.normalizeText(
+        once.select(col("doc_id"), col("cleaned").as("text")),
+        "doc_id", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._3, r._4))).toMap
+      // idempotent: a second pass changes nothing; and cleanup never
+      // grows the codepoint count (NFC composes or keeps, strips drop)
+      onceRows.forall { case (id, (nAfter, cleaned)) =>
+        twice(id) == ((nAfter, cleaned)) &&
+          nAfter <= texts(id.toInt).codePointCount(0, texts(id.toInt).length)
+      }
+    })
+  }
 }
