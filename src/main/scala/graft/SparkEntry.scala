@@ -304,6 +304,21 @@ object SparkEntry {
     // so the score is an exact IEEE division both engines share)
     "distinctive_terms" -> ((s, dir) =>
       Corpus.distinctiveTerms(docs(s, dir), "doc_id", "text", k = 3)),
+    // corpus-wide exact paragraph dedup over a fixture that plants a
+    // global banner + a per-language repeated notice around each doc's
+    // own text (the corpus is one-paragraph-per-doc — both engines
+    // build the same fixture): first occurrence wins, the short
+    // closing line is exempt
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.dedupParagraphs(
+        docs(s, dir).select(col("doc_id"),
+          concat(
+            lit("GLOBAL BANNER: this exact paragraph heads every single document in the corpus.\n\n"),
+            col("text"),
+            lit("\n\nRepeated notice for "), col("lang"),
+            lit(" readers: this paragraph is shared by every document of the language."),
+            lit("\n\nShort.")).as("text")),
+        "doc_id", "text")),
     // normalization over a fixture that plants deterministic mess per
     // doc (the corpus is clean ASCII — both engines build the same
     // fixture): a decomposed accent (e + U+0301), CRLF, a bell control
@@ -1140,6 +1155,25 @@ object OracleSql {
          |r AS (SELECT grp, CAST(floor(w2 * s.s / t * 1152921504606846976e0) AS BIGINT) AS thr FROM tot, s)
          |SELECT n.doc_id, n.grp, n.n_tokens FROM n JOIN r USING (grp)
          |WHERE ${TextOps.sqlSampleHash60("mix", "n.doc_id")} < r.thr""".stripMargin),
+    // paragraph dedup: same fixture; first occurrence by (doc_id, idx)
+    // wins per sha256, <50-char paragraphs exempt; kept paragraphs
+    // rejoin with a blank line in original order
+    "dedup_paragraphs" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |    'GLOBAL BANNER: this exact paragraph heads every single document in the corpus.' || chr(10) || chr(10) ||
+         |    text || chr(10) || chr(10) ||
+         |    'Repeated notice for ' || lang || ' readers: this paragraph is shared by every document of the language.' ||
+         |    chr(10) || chr(10) || 'Short.' AS text FROM documents),
+         |ps AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\n{2,}'), x -> trim(x) <> '') AS l FROM base),
+         |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(l)+1), i -> {'idx': i, 'para': l[i]})) AS u FROM ps),
+         |e AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM ex),
+         |d AS (SELECT doc_id, idx, para,
+         |    (length(para) < 50 OR row_number() OVER (PARTITION BY sha256(para) ORDER BY doc_id, idx) = 1) AS keep
+         |  FROM e)
+         |SELECT doc_id, count(*)::BIGINT AS n_paras,
+         |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+         |  array_to_string(coalesce(list(para ORDER BY idx) FILTER (WHERE keep), []), chr(10)||chr(10)) AS cleaned
+         |FROM d GROUP BY doc_id""".stripMargin),
     // normalization: the SAME injected fixture (decomposed accent,
     // CRLF, bell, tab run, double spaces, outer spaces), ICU
     // nfc_normalize = JDK Normalizer NFC, Java∩RE2-safe classes,

@@ -144,6 +144,51 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide exact PARAGRAPH dedup (the C4/RefinedWeb sub-document
+    * pass): across the whole corpus, the FIRST occurrence of each
+    * substantial paragraph — in (doc_id, paragraph-index) order — is
+    * kept and every later exact duplicate is dropped; paragraphs
+    * shorter than `minChars` are exempt (deduping "Yes." everywhere
+    * destroys dialogue). Distinct from [[Corpus.removeBoilerplateLines]]:
+    * that removes frequency-threshold lines EVERYWHERE, this keeps one
+    * canonical copy.
+    *
+    * Returns (doc_id, n_paras, n_dropped, cleaned) for every doc with
+    * at least one non-blank paragraph; cleaned rejoins kept paragraphs
+    * with a blank line.
+    *
+    * Scale shape: the keep decision is a row_number window keyed by
+    * the paragraph's sha256 over a projection that DROPS the text —
+    * the decision exchange carries (digest, doc_id, idx) only. The
+    * paragraph text moves exactly once, in the (doc_id, idx)-keyed
+    * join + per-doc reassembly exchange, and per-doc state is bounded
+    * by the document's own size (the C10 rule).
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 50): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    import org.apache.spark.sql.expressions.Window
+    val paras = filter(split(col(textCol), "\\n{2,}"), p => trim(p) =!= "")
+    val ex = graft.util.Staged.posexplodeOnce(
+      docs.select(col(idCol).as("doc_id"), paras.as("ps")),
+      Seq(col("doc_id")), col("ps"), "idx", "para")
+    // decisions never carry text: (digest, doc_id, idx) only
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val decisions = ex
+      .select(col("doc_id"), col("idx"), sha2(col("para"), 256).as("h"),
+        (length(col("para")) < minChars).as("short"))
+      .withColumn("keep", col("short") || row_number().over(w) === 1)
+      .select("doc_id", "idx", "keep")
+    ex.join(decisions, Seq("doc_id", "idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("cleaned"))
+  }
+
   // ---- minhash + banded LSH ----
 
   /** MinHash signature: sig[i] = min over shingles of mix(h(s) ⊕ seed_i);

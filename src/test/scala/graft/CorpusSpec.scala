@@ -216,6 +216,36 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("dedupParagraphs: first occurrence wins, short paras exempt, order kept") {
+    import spark.implicits._
+    import graft.text.Dedup
+    val big = "B" * 60 // substantial shared paragraph
+    val docs = Seq(
+      (1L, s"$big\n\nunique one is long enough to be a real paragraph here\n\nok"),
+      (2L, s"intro two padded out to pass the fifty character floor\n\n$big\n\nok"),
+      (3L, s"$big"), // all its content is a later duplicate -> cleaned empty
+      (4L, "\n\n \n\n")) // only blank paragraphs -> absent from output
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) == List(1L, 2L, 3L)) // doc 4 has no paragraphs
+    // doc 1 owns the first occurrence of `big`; "ok" is short-exempt
+    assert(got(0) == ((1L, 3L, 0L,
+      s"$big\n\nunique one is long enough to be a real paragraph here\n\nok")))
+    // doc 2 loses its copy of `big` but keeps order of the rest
+    assert(got(1) == ((2L, 3L, 1L,
+      "intro two padded out to pass the fifty character floor\n\nok")))
+    // doc 3 is entirely a duplicate
+    assert(got(2) == ((3L, 1L, 1L, "")))
+    // partition-layout independent (the window orders totally)
+    val again = Dedup.dedupParagraphs(docs.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(docs, "doc_id", "text", minChars = 0)
+    }
+  }
+
   test("normalizeText: NFC composes, control chars stripped, whitespace canonical") {
     import spark.implicits._
     val docs = Seq(
