@@ -157,28 +157,40 @@ object Dedup {
     * at least one non-blank paragraph; cleaned rejoins kept paragraphs
     * with a blank line.
     *
-    * Scale shape: the keep decision is a row_number window keyed by
-    * the paragraph's sha256 over a projection that DROPS the text —
-    * the decision exchange carries (digest, doc_id, idx) only. The
-    * paragraph text moves exactly once, in the (doc_id, idx)-keyed
-    * join + per-doc reassembly exchange, and per-doc state is bounded
-    * by the document's own size (the C10 rule).
+    * Scale shape: the winner per digest is min(struct(doc_id, idx)) —
+    * an AGGREGATE, not a rank window, because the operator's primary
+    * target is exactly the hot key: a boilerplate paragraph shared by
+    * N documents would send all N rows into ONE window task for a full
+    * sort (the same hot-key concentration the df-cap ngram index
+    * refuses), while the aggregate collapses each input partition to
+    * one candidate per digest map-side and the winner join is an
+    * equi-join AQE can skew-split. The decision path never carries
+    * text — (digest, doc_id, idx) only; the paragraph text moves
+    * exactly once, in the (doc_id, idx)-keyed join + per-doc
+    * reassembly exchange, whose state is bounded by the document's own
+    * size (the C10 rule).
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       minChars: Int = 50): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
-    import org.apache.spark.sql.expressions.Window
     val paras = filter(split(col(textCol), "\\n{2,}"), p => trim(p) =!= "")
     val ex = graft.util.Staged.posexplodeOnce(
       docs.select(col(idCol).as("doc_id"), paras.as("ps")),
       Seq(col("doc_id")), col("ps"), "idx", "para")
-    // decisions never carry text: (digest, doc_id, idx) only
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-    val decisions = ex
+    val hashed = ex
       .select(col("doc_id"), col("idx"), sha2(col("para"), 256).as("h"),
         (length(col("para")) < minChars).as("short"))
-      .withColumn("keep", col("short") || row_number().over(w) === 1)
-      .select("doc_id", "idx", "keep")
+    // shorts are exempt, so they stay out of the winner election
+    val winners = hashed.filter(!col("short"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("winner"))
+    val decisions = hashed
+      .join(winners, Seq("h"), "left")
+      // a short paragraph's winner is null (excluded above) — the
+      // `short ||` short-circuits it to kept either way
+      .select(col("doc_id"), col("idx"),
+        (col("short") ||
+          struct(col("doc_id"), col("idx")) === col("winner")).as("keep"))
     ex.join(decisions, Seq("doc_id", "idx"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_paras"),
