@@ -23,6 +23,7 @@ object PlanAudit {
       "tpch_pricing", "tpch_top_orders", "tpch_region_stats", "ivf_assign",
       "ngram_jaccard", "simhash_pairs", "sessionize", "asof_join",
       "ann_ivfpq", "pq_encode", "decontaminate", "decontaminate_bloom",
+      "mixture_sample", "normalize_text", "dedup_paragraphs",
       "repetition_stats",
       "distinctive_terms", "corpus_rollup", "group_percentiles")
     interesting.foreach { name =>
