@@ -171,7 +171,7 @@ object Dedup {
     * size (the C10 rule).
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-      minChars: Int = 50): DataFrame = {
+      minChars: Int = 50, materialize: Boolean = true): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
     val paras = filter(split(col(textCol), "\\n{2,}"), p => trim(p) =!= "")
     val ex = graft.util.Staged.posexplodeOnce(
@@ -180,17 +180,34 @@ object Dedup {
     val hashed = ex
       .select(col("doc_id"), col("idx"), sha2(col("para"), 256).as("h"),
         (length(col("para")) < minChars).as("short"))
+    // persist the TEXT-FREE digest frame + eager count (the
+    // minhashPairs rationale: Catalyst would otherwise inline the
+    // split+explode+sha pipeline into BOTH legs of the winner join —
+    // and the eager fill matters cross-executor). Text itself is
+    // never cached: it flows once into the fill and once into the
+    // final reassembly join.
+    if (materialize) { hashed.persist(); hashed.count() }
     // shorts are exempt, so they stay out of the winner election
     val winners = hashed.filter(!col("short"))
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("idx"))).as("winner"))
-    val decisions = hashed
+    val decisions0 = hashed
       .join(winners, Seq("h"), "left")
       // a short paragraph's winner is null (excluded above) — the
       // `short ||` short-circuits it to kept either way
       .select(col("doc_id"), col("idx"),
         (col("short") ||
           struct(col("doc_id"), col("idx")) === col("winner")).as("keep"))
+    // decisions are 3 narrow fields per paragraph — materialize them
+    // so the digest cache can be RELEASED before returning the lazy
+    // reassembly plan (the decontaminateStream persist-lifecycle
+    // lesson)
+    val decisions =
+      if (materialize) {
+        val d = decisions0.localCheckpoint()
+        hashed.unpersist()
+        d
+      } else decisions0
     ex.join(decisions, Seq("doc_id", "idx"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_paras"),
