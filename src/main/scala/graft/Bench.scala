@@ -105,7 +105,7 @@ object Bench {
 
     // shared JSON fragments — built ONCE so the queries-only and full
     // output paths cannot drift
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + graft.util.Fmt.f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
@@ -116,7 +116,8 @@ object Bench {
     // (BASELINE.md protocol) doesn't need the multi-minute scaling
     // sections re-run
     if (sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")) {
-      println(f"""{"metric":"per-query seconds (queries-only run)","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","total_query_sec":$total%.3f}""")
+      val t3 = graft.util.Fmt.f3(total)
+      println(s"""{"metric":"per-query seconds (queries-only run)","value":$t3,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","total_query_sec":$t3}""")
       return
     }
 
@@ -170,7 +171,7 @@ object Bench {
         (Some(tps), json)
       }
 
-    def f(d: Double) = f"$d%.3f"
+    def f(d: Double) = graft.util.Fmt.f3(d)
     // HEADLINE = the executor-JVM fleet throughput (4×8-core worker
     // processes — the honest cluster analog). The single-JVM local[N]
     // extract section is retained as a labeled diagnostic: one
