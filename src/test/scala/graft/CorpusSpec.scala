@@ -334,6 +334,12 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         n = 4, fpp = fpp).as[(Long, Long, Long, Double)].collect().toSet
       assert(bloom == exact, s"fpp=$fpp diverged from the exact path")
     }
+    // the no-count path: a caller-supplied capacity (here a gross
+    // UNDER-estimate, saturating the filter into extra false
+    // positives) must still be value-identical — only fpp degrades
+    val estimated = Corpus.decontaminateBloom(train, bench, "doc_id", "text",
+      n = 4, expectedGrams = 10).as[(Long, Long, Long, Double)].collect().toSet
+    assert(estimated == exact, "expectedGrams path diverged from exact")
     assert(exact.nonEmpty)
     intercept[IllegalArgumentException] {
       Corpus.decontaminateBloom(train, bench, "doc_id", "text", fpp = 0.0)

@@ -414,6 +414,34 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontaminate_bloom prescreen is native and codegen (no UDF)") {
+    // r4 verdict Missing #2: the prescreen probe was a Scala UDF —
+    // it broke whole-stage codegen in the hottest filter of the scale
+    // path. The rewrite probes via the native BloomFilterMightContain
+    // over a binary literal; this pins (a) no UDF anywhere in the
+    // plan, (b) the probe present as a Filter condition, (c) the
+    // filter inside a WholeStageCodegen span (the formatted explain
+    // marks codegen'd operators with a (codegen id)).
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, sf)
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("UDF") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("might_contain"), p)
+    // codegen spans only appear on the FINAL (post-AQE) executed plan —
+    // run the query, then require the probe's Filter line to carry the
+    // *(n) whole-stage-codegen marker in the simple plan string
+    df.collect()
+    // the AdaptiveSparkPlan string repeats the tree as "== Initial
+    // Plan ==" WITHOUT codegen stars — judge only the final section
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val probeLines = executed.linesIterator
+      .filter(l => l.contains("might_contain") && l.contains("Filter")).toList
+    assert(probeLines.nonEmpty, s"no might_contain Filter in:\n$executed")
+    assert(probeLines.forall(_.contains("*(")),
+      s"prescreen Filter not codegen'd:\n${probeLines.mkString("\n")}")
+  }
+
   test("suite sweep: EVERY registered query plans cartesian-free") {
     // the targeted plan tests above pin the interesting shapes; this
     // sweep is the structural floor for the whole contract surface — a
