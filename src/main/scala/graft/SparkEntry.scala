@@ -106,6 +106,31 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("source").as("document")),
         "src0").select("doc_id")),
     "collection_count" -> ((s, dir) => StoreOps.collectionCount(docs(s, dir))),
+    // store maintenance: splinter the corpus into a many-small-files
+    // partitioned table, compact it, and aggregate what survived —
+    // count + char mass + a content-hash sum per partition, so the
+    // physical rewrite is provably multiset-preserving (the oracle
+    // computes the same aggregates straight from `documents`)
+    // bounded to the first 250 docs (half the corpus at the oracle's
+    // sf0.01) like the other fixture queries — unbounded, the query
+    // benchmarks fixture construction (a 128-file shuffle write), not
+    // the maintenance op; CompactionSpec covers scale/recovery shapes
+    "compact_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      docs(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("partition_id"))
+        .repartition(6)
+        .write.partitionBy("partition_id").mode("overwrite").parquet(tmp)
+      val report = graft.store.Compaction
+        .compactPartitions(s, tmp, targetBytes = 1L << 30).collect()
+      require(report.forall(r => r.getBoolean(5) || r.getInt(2) <= 1),
+        "splintered table should have been compacted")
+      s.read.parquet(tmp).groupBy(col("partition_id").cast("long").as("partition_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("double").as("n_chars"),
+          sum(TextOps.sampleHash60(col("text"), "compact") % 1000003)
+            .cast("double").as("content_sum"))
+    }),
     // S6 upsert semantics: batch (doc_id >= 300, re-labeled) wins on
     // chunk_id collision; untouched existing rows survive
     "append_dedup" -> ((s, dir) => {
@@ -275,6 +300,11 @@ object SparkEntry {
         "lang", "quality", "doc_id", k = 3)
         .select("lang", "rank", "doc_id", "quality")),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(docs(s, dir), "doc_id", "text")),
+    // trained-model-shaped quality classifier: linear scorer with
+    // fixed public weights over the qualityScore feature basis (the
+    // kmeans-centroid literal pattern applied to model weights)
+    "quality_model" -> ((s, dir) =>
+      graft.text.QualityModel.score(docs(s, dir), "doc_id", "text")),
     // benchmark decontamination: docs sharing any word 4-gram with the
     // held-out eval split (doc_id % 20 == 0 — deterministic, oracle-
     // reproducible); the benchmark n-gram set is broadcast
@@ -553,6 +583,14 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE source <> 'src0'",
     "collection_count" ->
       "SELECT count(*) AS n FROM documents",
+    // the roundtrip query aggregates the POST-COMPACTION table; the
+    // oracle aggregates `documents` directly — equality proves the
+    // physical rewrite preserved the row multiset bit-for-bit
+    "compact_roundtrip" ->
+      (s"""SELECT doc_id % 4 AS partition_id, count(*) AS n_docs,
+         |  sum(length(text))::DOUBLE AS n_chars,
+         |  sum(${graft.text.TextOps.sqlSampleHash60("compact", "text")} % 1000003)::DOUBLE AS content_sum
+         |FROM documents WHERE doc_id < 250 GROUP BY 1""".stripMargin),
     "append_dedup" ->
       ("""SELECT 'c'||doc_id AS chunk_id, 'new-'||source AS v
          |FROM documents WHERE doc_id >= 300
@@ -1125,6 +1163,11 @@ object OracleSql {
          |FROM scored WHERE common / (na + nb - common)::DOUBLE >= 0.5""".stripMargin),
     "lang_id" -> langIdSql,
     "quality_score" -> qualitySql,
+    "quality_model" ->
+      (s"""WITH q AS ($qualitySql)
+         |SELECT doc_id, ${graft.text.QualityModel.sqlScore} AS model_score,
+         |  CASE WHEN ${graft.text.QualityModel.sqlScore} > 0 THEN 1 ELSE 0 END AS keep
+         |FROM q""".stripMargin),
     // same 60-bit sha-threshold basis as TextOps.sampleHash (the hash
     // and threshold come from the one shared definition)
     "sample_hash" ->

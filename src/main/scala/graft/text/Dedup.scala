@@ -169,10 +169,26 @@ object Dedup {
     * exactly once, in the (doc_id, idx)-keyed join + per-doc
     * reassembly exchange, whose state is bounded by the document's own
     * size (the C10 rule).
+    *
+    * @param materialize eagerly materialize the paragraph decisions so
+    *   the text-free digest cache can be released before returning
+    *   (false forfeits the double-evaluation guard: the split+sha
+    *   pipeline inlines into both winner-join legs)
+    * @param reliable checkpoint the decisions to the session's
+    *   checkpoint dir (durable storage) instead of localCheckpoint —
+    *   survives executor loss / dynamic-allocation scale-down; the
+    *   right setting on a real cluster with non-static executors
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-      minChars: Int = 50, materialize: Boolean = true): DataFrame = {
+      minChars: Int = 50, materialize: Boolean = true,
+      reliable: Boolean = false): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(!reliable || materialize,
+      "reliable=true requires materialize=true (nothing to checkpoint otherwise)")
+    require(!reliable ||
+      docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires spark.sparkContext.setCheckpointDir — " +
+        "point it at cluster-durable storage (HDFS/object store)")
     val paras = filter(split(col(textCol), "\\n{2,}"), p => trim(p) =!= "")
     val ex = graft.util.Staged.posexplodeOnce(
       docs.select(col(idCol).as("doc_id"), paras.as("ps")),
@@ -201,10 +217,19 @@ object Dedup {
     // decisions are 3 narrow fields per paragraph — materialize them
     // so the digest cache can be RELEASED before returning the lazy
     // reassembly plan (the decontaminateStream persist-lifecycle
-    // lesson)
+    // lesson). Two materialization grades:
+    //   - localCheckpoint (default): blocks live on executors; lineage
+    //     is TRUNCATED, so an executor loss (or dynamic-allocation
+    //     scale-down) between here and the caller's action fails the
+    //     job instead of recomputing. Fine single-JVM / static clusters.
+    //   - reliable=true: rdd.checkpoint() to the session's checkpoint
+    //     dir — decisions survive any executor loss (they're on
+    //     durable storage, re-read not recomputed). Costs one write +
+    //     read of the 3-narrow-column frame; the 100 TB default when
+    //     running with dynamic allocation or spot executors.
     val decisions =
       if (materialize) {
-        val d = decisions0.localCheckpoint()
+        val d = if (reliable) decisions0.checkpoint() else decisions0.localCheckpoint()
         hashed.unpersist()
         d
       } else decisions0

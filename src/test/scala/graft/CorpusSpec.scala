@@ -244,6 +244,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Dedup.dedupParagraphs(docs, "doc_id", "text", minChars = 0)
     }
+    // reliable materialization (checkpoint-dir-backed, the dynamic-
+    // allocation-safe path) must be value-identical to the default
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val prior = spark.sparkContext.getCheckpointDir
+    try {
+      // reliable without a checkpoint dir is a hard error, not a
+      // silent localCheckpoint downgrade
+      if (prior.isEmpty) intercept[IllegalArgumentException] {
+        Dedup.dedupParagraphs(docs, "doc_id", "text", reliable = true)
+      }
+      spark.sparkContext.setCheckpointDir(ckDir)
+      val rel = Dedup.dedupParagraphs(docs, "doc_id", "text", reliable = true)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+      assert(rel == got)
+    } finally {
+      prior.foreach(spark.sparkContext.setCheckpointDir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(ckDir))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(docs, "doc_id", "text",
+        materialize = false, reliable = true)
+    }
   }
 
   test("normalizeText: NFC composes, control chars stripped, whitespace canonical") {
@@ -434,5 +459,33 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }.toMap
     assert(got == want)
+  }
+
+  test("QualityModel separates planted good prose from planted garbage") {
+    import spark.implicits._
+    import graft.text.QualityModel
+    // good: real English prose — stopwords present, low punctuation,
+    // ordinary word lengths. bad: markup/symbol soup and stopword-free
+    // keyword stuffing — the document classes a trained quality
+    // filter exists to drop.
+    val good = Seq(
+      "the quick brown fox jumps over the lazy dog and it runs to the " +
+        "river where a family of ducks is swimming in the morning sun",
+      "it is a truth universally acknowledged that a single man in " +
+        "possession of a good fortune must be in want of a wife and the " +
+        "neighbourhood said so too")
+    val bad = Seq(
+      "$$$ !!! ### ~~~ ((( ))) *** %%% @@@ ^^^ &&& ||| ??? ::: ;;; ===",
+      "buy cheap buy cheap buy cheap pills pills pills casino casino " +
+        "bonus bonus click click here here now now win win big big")
+    val docs = (good ++ bad).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scored = QualityModel.score(docs, "doc_id", "text")
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    val (g, b) = scored.partition(_._1 < good.length)
+    assert(g.forall(_._3 == 1), s"good prose rejected: ${g.toList}")
+    assert(b.forall(_._3 == 0), s"garbage kept: ${b.toList}")
+    // the margin is real, not a threshold graze
+    assert(g.map(_._2).min > b.map(_._2).max + 0.5)
   }
 }
