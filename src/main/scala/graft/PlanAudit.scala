@@ -25,7 +25,8 @@ object PlanAudit {
       "ann_ivfpq", "pq_encode", "decontaminate", "decontaminate_bloom",
       "mixture_sample", "normalize_text", "dedup_paragraphs",
       "repetition_stats",
-      "distinctive_terms", "corpus_rollup", "group_percentiles")
+      "distinctive_terms", "corpus_rollup", "group_percentiles",
+      "quality_model", "mm_decode_ppm", "mm_decode_bmp", "compact_roundtrip")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

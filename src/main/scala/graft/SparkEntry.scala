@@ -453,6 +453,17 @@ object SparkEntry {
     // window digest; real plumbing: one row per sampled frame, no
     // shuffle)
     "mm_features" -> ((s, dir) => Multimodal.frameFeatures(docs(s, dir))),
+    // REAL codec gates: one valid PPM/BMP payload per doc (pixel
+    // bytes a closed-form function of doc_id), decoded by the actual
+    // header/pixel parser — per-channel sums only exist if the pixel
+    // array was genuinely recovered from the encoded bytes (BMP adds
+    // row padding, bottom-up order and BGR swap to get wrong)
+    "mm_decode_ppm" -> ((s, dir) =>
+      Multimodal.decodeImage(
+        Multimodal.syntheticImages(docs(s, dir), "ppm")).toDF()),
+    "mm_decode_bmp" -> ((s, dir) =>
+      Multimodal.decodeImage(
+        Multimodal.syntheticImages(docs(s, dir), "bmp")).toDF()),
 
     // ---- stable ordering window (north rule) + event-time agg ----
     "stable_order" -> ((s, dir) => {
@@ -1070,6 +1081,21 @@ object OracleSql {
        |    / greatest(len($sqlWords), 1)::DOUBLE AS mean_word_len
        |  FROM documents)""".stripMargin
 
+  // expected decoded-image statistics from the fixture's generating
+  // formula (Multimodal.syntheticImages: w = 4 + id%5, h = 3 + id%3,
+  // RGB byte i = (id + i) mod 256) — the engine must recover the same
+  // numbers from the ENCODED bytes via the real header/pixel parser
+  private def mmDecodeSql(codec: String): String =
+    s"""WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
+       |s AS (SELECT doc_id, w, h,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w*h), j -> (doc_id + j*3) % 256)), (a,b) -> a+b) AS sum_r,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w*h), j -> (doc_id + j*3 + 1) % 256)), (a,b) -> a+b) AS sum_g,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w*h), j -> (doc_id + j*3 + 2) % 256)), (a,b) -> a+b) AS sum_b
+       |  FROM dims)
+       |SELECT doc_id, '$codec' AS codec, w::INT AS width, h::INT AS height,
+       |  (w*h)::INT AS n_pixels, sum_r, sum_g, sum_b
+       |FROM s""".stripMargin
+
   // word 4-grams via list slicing (range is end-exclusive; slice is
   // 1-based inclusive), distinct on the STRINGS before hashing —
   // exactly the native kernel's order of operations. One definition,
@@ -1383,8 +1409,14 @@ object OracleSql {
          |  sha256(substr(text, i*100 + 1, 100)) AS frame_digest
          |FROM documents, (SELECT unnest(range(0, 5)) AS i)
          |WHERE i < least(length(text)//100 + 1, 5)""".stripMargin),
+    // per-doc closed-form expected stats for the REAL-decoder gates:
+    // the engine recovers these from encoded PPM/BMP bytes; the
+    // oracle derives them from the generating formula
+    "mm_decode_ppm" -> mmDecodeSql("ppm"),
+    "mm_decode_bmp" -> mmDecodeSql("bmp"),
     "mm_meta" ->
-      ("""SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS digest,
+      ("""SELECT doc_id, 'stub' AS codec,
+         |  octet_length(encode(text)) AS byte_len, sha256(text) AS digest,
          |  1 + (CAST('0x'||substr(sha256(text),1,2) AS INT) << 2) AS width,
          |  1 + (CAST('0x'||substr(sha256(text),3,2) AS INT) << 2) AS height,
          |  octet_length(encode(text)) // 100 + 1 AS n_frames,

@@ -3,22 +3,42 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Typed metadata for an opaque media payload. The decode itself is a
-  * STUB (no image/audio codecs ship in this container): `DecodeStub`
-  * derives deterministic fake dimensions from the payload bytes. The
-  * Spark-side plumbing — binary column, schema, partition-batched
-  * decode boundary, row shape — is real and tested; swapping
-  * `DecodeStub.decode` for a JNI/FFM codec (or moving the stage to
-  * `mapInPandas` on a PySpark edge) changes no plan shape.
+/** Typed metadata for an opaque media payload. Payloads in a REAL
+  * public format ([[Codecs]]: PPM P6, uncompressed 24-bit BMP) are
+  * genuinely decoded — width/height come from the parsed header, and
+  * `codec` names the format. Anything else falls back to the
+  * documented metadata STUB (`DecodeStub` derives deterministic fake
+  * dimensions from the payload digest; `codec` = "stub") — no
+  * compressed-format codec ships in this container, and the fallback
+  * keeps the pipeline total (C12) instead of failing on alien bytes.
+  * The Spark-side plumbing — binary column, schema, partition-batched
+  * decode boundary, row shape — is identical on both paths; swapping
+  * in a JNI/FFM codec for JPEG/audio extends only `Codecs.decode`'s
+  * dispatch, never the plan shape.
   */
 final case class MediaMeta(
     doc_id: Long,
+    codec: String,
     byte_len: Int,
     digest: String,
     width: Int,
     height: Int,
     n_frames: Int,
     frame_offsets: Seq[Int])
+
+/** decoded-image statistics: per-channel pixel sums over genuinely
+  * decoded RGB data — values a header-only (or fake) decoder cannot
+  * produce, which is what the oracle gate checks
+  */
+final case class ImageStats(
+    doc_id: Long,
+    codec: String,
+    width: Int,
+    height: Int,
+    n_pixels: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
 
 object DecodeStub {
 
@@ -84,8 +104,73 @@ object Multimodal {
           val bytes = if (payload == null) Array.empty[Byte] else payload
           val digest = java.security.MessageDigest.getInstance("SHA-256")
             .digest(bytes).map("%02x".format(_)).mkString
-          val (w, h, n, offs) = DecodeStub.decode(bytes)
-          MediaMeta(id, bytes.length, digest, w, h, n, offs)
+          Codecs.decode(bytes) match {
+            case Some(img) =>
+              // a real still image: one frame, pixel data as frame 0
+              MediaMeta(id, img.codec, bytes.length, digest,
+                img.width, img.height, 1, Seq(0))
+            case None =>
+              val (w, h, n, offs) = DecodeStub.decode(bytes)
+              MediaMeta(id, "stub", bytes.length, digest, w, h, n, offs)
+          }
+        }
+      }
+  }
+
+  /** Synthetic-but-REAL encoded fixture images: one valid PPM/BMP per
+    * doc, dimensions and pixel bytes a closed-form function of doc_id
+    * (pixel i of the RGB buffer = (doc_id + i) mod 256, w = 4 +
+    * id mod 5, h = 3 + id mod 3 — widths include non-multiples of 4
+    * so BMP row padding is actually exercised). Both engines can
+    * derive the EXPECTED decoded statistics from the formula, while
+    * only a real decoder can recover them from the encoded bytes — that
+    * asymmetry is what makes the oracle a genuine codec gate.
+    */
+  def syntheticImages(docs: DataFrame, fmt: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fmt == "ppm" || fmt == "bmp", s"unknown fixture format $fmt")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 3).toInt
+      val rgb = Array.tabulate(w * h * 3)(i => ((id + i) % 256).toByte)
+      val payload =
+        if (fmt == "ppm") Codecs.encodePpm(w, h, rgb)
+        else Codecs.encodeBmp(w, h, rgb)
+      (id, payload)
+    }.toDF(idCol, "payload")
+  }
+
+  /** decode + per-channel statistics over a binary payload column —
+    * the real-decoder twin of [[decodeMeta]]: the mapPartitions batch
+    * boundary is the same, but width/height/sums exist only if the
+    * actual pixel array was parsed out of the actual header. Rows
+    * whose payload doesn't decode surface as codec='unknown' with
+    * zeroed stats (per-row error capture, never a task failure).
+    */
+  def decodeImage(images: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[ImageStats] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          Codecs.decode(payload) match {
+            case Some(img) =>
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var i = 0
+              while (i < img.pixels.length) {
+                sr += img.pixels(i) & 0xff
+                sg += img.pixels(i + 1) & 0xff
+                sb += img.pixels(i + 2) & 0xff
+                i += 3
+              }
+              ImageStats(id, img.codec, img.width, img.height,
+                img.width * img.height, sr, sg, sb)
+            case None => ImageStats(id, "unknown", 0, 0, 0, 0L, 0L, 0L)
+          }
         }
       }
   }
