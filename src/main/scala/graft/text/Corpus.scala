@@ -117,10 +117,17 @@ object Corpus {
     import org.apache.spark.sql.GraftExprBridge.{toColumn, toExpression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val benchGrams = benchmarkGrams(bench, textCol, n)
-    val expected =
+    val expected0 =
       if (expectedGrams > 0) expectedGrams else math.max(benchGrams.count(), 1L)
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expected, fpp)
+    // BloomFilterAggregate hard-errors above the session's runtime-
+    // bloom ceilings; clamp instead — an undersized filter only
+    // degrades fpp (more exact-verify work), never correctness
+    val conf = train.sparkSession.conf
+    val expected = math.min(expected0,
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong)
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expected, fpp),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong)
     // one distributed pass; the aggregate's TypedImperativeAggregate
     // state is the filter itself, merged combine-style — the returned
     // row is the serialized bits (bounded: numBits/8 bytes)
