@@ -26,7 +26,8 @@ object PlanAudit {
       "mixture_sample", "normalize_text", "dedup_paragraphs",
       "repetition_stats",
       "distinctive_terms", "corpus_rollup", "group_percentiles",
-      "quality_model", "mm_decode_ppm", "mm_decode_bmp", "compact_roundtrip")
+      "quality_model", "mm_decode_ppm", "mm_decode_bmp", "mm_decode_wav",
+      "compact_roundtrip")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

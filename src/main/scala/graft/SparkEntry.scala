@@ -464,6 +464,13 @@ object SparkEntry {
     "mm_decode_bmp" -> ((s, dir) =>
       Multimodal.decodeImage(
         Multimodal.syntheticImages(docs(s, dir), "bmp")).toDF()),
+    // audio codec gate: one valid RIFF/WAVE PCM16 clip per doc
+    // (interleaved samples a closed-form function of doc_id, odd-sized
+    // LIST chunk forcing real chunk-walking) — amplitude stats only
+    // exist if the PCM frames were genuinely parsed from the container
+    "mm_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.syntheticAudio(docs(s, dir))).toDF()),
 
     // ---- stable ordering window (north rule) + event-time agg ----
     "stable_order" -> ((s, dir) => {
@@ -1414,6 +1421,20 @@ object OracleSql {
     // oracle derives them from the generating formula
     "mm_decode_ppm" -> mmDecodeSql("ppm"),
     "mm_decode_bmp" -> mmDecodeSql("bmp"),
+    // audio twin: expected PCM statistics from the generating formula
+    // (Multimodal.syntheticAudio: 8000 Hz, ch = 1 + id%2, frames =
+    // 50 + id%37, interleaved sample i = (id*31 + i*17) % 4001 - 2000);
+    // the engine must recover them from the ENCODED RIFF bytes
+    "mm_decode_wav" ->
+      ("""WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 37 AS frames FROM documents),
+         |s AS (SELECT doc_id, ch, frames, frames * ch AS n,
+         |  list_transform(range(0, frames * ch), i -> (doc_id*31 + i*17) % 4001 - 2000) AS xs FROM p)
+         |SELECT doc_id, 'wav' AS codec, 8000 AS sample_rate, ch::INT AS channels,
+         |  n::INT AS n_samples, (frames * 1000 // 8000)::INT AS duration_ms,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(xs, x -> abs(x)::BIGINT)), (a,b) -> a+b) AS sum_abs,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(xs, x -> abs(x)::BIGINT)), (a,b) -> greatest(a,b))::INT AS max_abs,
+         |  len(list_filter(range(1, n), j -> (xs[j] < 0) <> (xs[j+1] < 0)))::INT AS zero_crossings
+         |FROM s""".stripMargin),
     "mm_meta" ->
       ("""SELECT doc_id, 'stub' AS codec,
          |  octet_length(encode(text)) AS byte_len, sha256(text) AS digest,

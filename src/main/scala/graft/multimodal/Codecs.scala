@@ -19,9 +19,16 @@ package graft.multimodal
   * documented metadata stub ([[DecodeStub]]) — a `codec` status
   * column keeps the two paths distinguishable downstream.
   *
-  * Compressed formats (JPEG/PNG/audio/video) stay out of scope: no
+  * Audio gets the same treatment via [[decodeWav]] — RIFF/WAVE
+  * PCM16 (chunk-walking with word alignment, interleaved multi-
+  * channel frames), the uncompressed public audio container. Its
+  * layout quirks (chunk padding to even offsets, unknown chunks to
+  * skip, little-endian 16-bit samples) are the audio analogue of
+  * BMP's padding/flip/swap: a fake decoder can't shortcut them.
+  *
+  * Compressed formats (JPEG/PNG/MP3/video) stay out of scope: no
   * codec libraries ship in this container; swapping one in changes
-  * only [[decode]]'s dispatch, never the Spark-side plumbing.
+  * only the decode dispatch, never the Spark-side plumbing.
   */
 object Codecs {
 
@@ -38,6 +45,9 @@ object Codecs {
     if (payload == null || payload.length < 2) "unknown"
     else if (payload(0) == 'P' && payload(1) == '6') "ppm"
     else if (payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+      payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
     else "unknown"
 
   /** total decode: None for anything malformed, oversized, or of an
@@ -175,4 +185,121 @@ object Codecs {
     }
     out
   }
+
+  // ---- WAV (RIFF/WAVE container, PCM 16-bit) ----
+
+  /** decoded audio clip: interleaved little-endian-sourced PCM16
+    * samples (frame f, channel c at index f*channels + c)
+    */
+  final case class Audio(codec: String, sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** corrupt-header allocation ceiling: 64M samples = 128 MB decoded */
+  val MaxSamples: Long = 64L * 1024 * 1024
+
+  /** RIFF/WAVE PCM16 decoder. Walks the chunk list (each chunk is a
+    * 4-byte id + LE32 size + payload, padded to an EVEN file offset —
+    * the word-alignment rule real writers follow and naive readers
+    * miss), skipping unknown chunks (LIST/INFO, fact, cue, …) until it
+    * has seen a `fmt ` chunk declaring uncompressed PCM16 and a `data`
+    * chunk. None for anything malformed, compressed, oversized, or
+    * truncated — total, like the image decoders (C12).
+    */
+  private def decodeWav(b: Array[Byte]): Option[Audio] = {
+    if (b.length < 12) return None
+    val riffSize = le32(b, 4)
+    // RIFF size counts everything after offset 8; tolerate trailing
+    // slack but not a claim past the buffer
+    if (riffSize < 4 || 8L + riffSize > b.length) return None
+    var i = 12
+    var sampleRate = 0; var channels = 0
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (i + 8 <= b.length && data == null) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8L + size > b.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        val bitsPerSample = le16(b, i + 22)
+        // PCM only, 16-bit only — compressed/float WAVs are "unknown"
+        if (audioFormat != 1 || bitsPerSample != 16) return None
+        if (channels <= 0 || channels > 64 || sampleRate <= 0) return None
+        fmtOk = true
+      } else if (id == "data") {
+        if (!fmtOk) return None // fmt must precede data per the spec
+        val n = size / 2
+        if (n > MaxSamples) return None
+        if (n % channels != 0) return None // whole frames only
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          out(j) = ((b(i + 8 + 2 * j) & 0xff) |
+            (b(i + 8 + 2 * j + 1) << 8)).toShort
+          j += 1
+        }
+        data = out
+      }
+      // next chunk starts at the next EVEN offset (pad byte after
+      // odd-sized chunks is not counted in `size`)
+      i += 8 + size + (size & 1)
+    }
+    if (data == null) None
+    else Some(Audio("wav", sampleRate, channels, data))
+  }
+
+  /** canonical RIFF/WAVE PCM16 bytes — plus one odd-sized LIST/INFO
+    * chunk between `fmt ` and `data`, so every fixture forces the
+    * decoder to actually walk chunks and honor the even-offset pad
+    * rule (the BMP-padding analogue for audio)
+    */
+  def encodeWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      "samples must hold whole frames")
+    val info = "ISFTgraft".getBytes("US-ASCII") // 9 bytes: odd on purpose
+    val listChunk = 8 + info.length + (info.length & 1)
+    val dataSize = samples.length * 2
+    val riffSize = 4 + (8 + 16) + listChunk + (8 + dataSize)
+    val out = new Array[Byte](8 + riffSize)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def putTag(off: Int, s: String): Unit = {
+      val t = s.getBytes("US-ASCII")
+      System.arraycopy(t, 0, out, off, 4)
+    }
+    putTag(0, "RIFF"); putLe32(4, riffSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, channels)
+    putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels * 2) // byte rate
+    putLe16(32, channels * 2) // block align
+    putLe16(34, 16) // bits per sample
+    var o = 36
+    putTag(o, "LIST"); putLe32(o + 4, info.length)
+    System.arraycopy(info, 0, out, o + 8, info.length)
+    o += 8 + info.length + (info.length & 1) // pad to even
+    putTag(o, "data"); putLe32(o + 4, dataSize)
+    var j = 0
+    while (j < samples.length) {
+      putLe16(o + 8 + 2 * j, samples(j))
+      j += 1
+    }
+    out
+  }
+
+  /** total audio decode: None for malformed/unknown/compressed */
+  def decodeAudio(payload: Array[Byte]): Option[Audio] =
+    try {
+      if (sniff(payload) == "wav") decodeWav(payload) else None
+    } catch { case _: RuntimeException => None }
 }

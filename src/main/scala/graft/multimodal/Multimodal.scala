@@ -26,6 +26,23 @@ final case class MediaMeta(
     n_frames: Int,
     frame_offsets: Seq[Int])
 
+/** decoded-audio statistics: amplitude sums / extremes / sign
+  * crossings over genuinely decoded PCM16 samples — the audio twin of
+  * [[ImageStats]]; `zero_crossings` is counted over the interleaved
+  * stream (a deterministic decode witness, not a per-channel DSP
+  * feature — the oracle replays the same definition)
+  */
+final case class AudioStats(
+    doc_id: Long,
+    codec: String,
+    sample_rate: Int,
+    channels: Int,
+    n_samples: Int,
+    duration_ms: Int,
+    sum_abs: Long,
+    max_abs: Int,
+    zero_crossings: Int)
+
 /** decoded-image statistics: per-channel pixel sums over genuinely
   * decoded RGB data — values a header-only (or fake) decoder cannot
   * produce, which is what the oracle gate checks
@@ -170,6 +187,66 @@ object Multimodal {
               ImageStats(id, img.codec, img.width, img.height,
                 img.width * img.height, sr, sg, sb)
             case None => ImageStats(id, "unknown", 0, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** Synthetic-but-REAL encoded fixture audio: one valid RIFF/WAVE
+    * PCM16 clip per doc — sample rate 8000 Hz, channels = 1 + id mod 2
+    * (stereo rows exercise interleaved frames), 50 + id mod 37 frames,
+    * interleaved sample i = ((id·31 + i·17) mod 4001) − 2000. The
+    * encoder inserts an odd-sized LIST chunk before `data`
+    * ([[Codecs.encodeWav]]), so decoding REQUIRES chunk-walking with
+    * the even-offset pad rule — same asymmetry as the image fixtures:
+    * both engines derive the expected stats from the formula, but only
+    * a real container parser recovers them from the bytes.
+    */
+  def syntheticAudio(docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val channels = (1 + id % 2).toInt
+      val n = (50 + id % 37).toInt * channels
+      val samples = Array.tabulate(n)(i =>
+        ((id * 31 + i.toLong * 17) % 4001 - 2000).toShort)
+      (id, Codecs.encodeWav(8000, channels, samples))
+    }.toDF(idCol, "payload")
+  }
+
+  /** decode + amplitude statistics over a binary WAV payload column —
+    * the audio twin of [[decodeImage]]: same mapPartitions batch
+    * boundary, stats exist only if the PCM frames were genuinely
+    * parsed out of the RIFF chunk list. Undecodable rows surface as
+    * codec='unknown' with zeroed stats (C12), never a task failure.
+    */
+  def decodeAudio(clips: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[AudioStats] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          Codecs.decodeAudio(payload) match {
+            case Some(a) =>
+              var sumAbs = 0L; var maxAbs = 0; var zc = 0
+              var i = 0
+              while (i < a.samples.length) {
+                val v = math.abs(a.samples(i).toInt)
+                sumAbs += v
+                if (v > maxAbs) maxAbs = v
+                if (i > 0 &&
+                  (a.samples(i) < 0) != (a.samples(i - 1) < 0)) zc += 1
+                i += 1
+              }
+              val frames = a.samples.length / a.channels
+              AudioStats(id, a.codec, a.sampleRate, a.channels,
+                a.samples.length, (frames * 1000L / a.sampleRate).toInt,
+                sumAbs, maxAbs, zc)
+            case None =>
+              AudioStats(id, "unknown", 0, 0, 0, 0, 0L, 0, 0)
           }
         }
       }

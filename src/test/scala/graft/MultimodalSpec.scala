@@ -146,4 +146,98 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  // hand-assembled RIFF/WAVE bytes: an unknown odd-sized chunk BEFORE
+  // fmt/data, so decoding requires real chunk-walking with the
+  // even-offset pad rule — written by hand, not by encodeWav, so the
+  // parser is proved, not a shared convention
+  private def handWav: Array[Byte] = {
+    val out = new Array[Byte](8 + 56)
+    def tag(off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    tag(0, "RIFF"); le32(4, 56); tag(8, "WAVE")
+    tag(12, "junk"); le32(16, 3) // odd size: pad byte follows payload
+    out(20) = 'a'; out(21) = 'b'; out(22) = 'c' // out(23) = pad
+    tag(24, "fmt "); le32(28, 16)
+    le16(32, 1); le16(34, 1); le32(36, 4); le32(40, 8); le16(44, 2)
+    le16(46, 16)
+    tag(48, "data"); le32(52, 8)
+    le16(56, 1000); le16(58, -1000); le16(60, 32767); le16(62, -32768)
+    out
+  }
+
+  test("WAV: hand-built chunked bytes decode to the exact PCM16 samples") {
+    val a = Codecs.decodeAudio(handWav).get
+    assert(a.codec == "wav" && a.sampleRate == 4 && a.channels == 1)
+    assert(a.samples.toSeq == Seq[Short](1000, -1000, 32767, -32768))
+  }
+
+  test("WAV decode is total: garbage, truncation, non-PCM -> None") {
+    assert(Codecs.decodeAudio(null).isEmpty)
+    assert(Codecs.decodeAudio("RIFFxxxxWAVE".getBytes).isEmpty)
+    // truncated data chunk: RIFF size claims past the buffer
+    assert(Codecs.decodeAudio(handWav.dropRight(2)).isEmpty)
+    // IEEE-float format (3) and 8-bit PCM are out of scope, not misread
+    val float = handWav; float(32) = 3
+    assert(Codecs.decodeAudio(float).isEmpty)
+    val pcm8 = handWav; pcm8(46) = 8
+    assert(Codecs.decodeAudio(pcm8).isEmpty)
+    // data before fmt violates the spec
+    val swapped = new Array[Byte](handWav.length)
+    val h = handWav
+    System.arraycopy(h, 0, swapped, 0, 12)
+    System.arraycopy(h, 48, swapped, 12, 16) // data first
+    System.arraycopy(h, 24, swapped, 28, 24) // then fmt
+    System.arraycopy(h, 12, swapped, 52, 12) // then junk
+    assert(Codecs.decodeAudio(swapped).isEmpty)
+    // stereo data whose sample count is not a whole number of frames
+    val ragged = Codecs.encodeWav(8000, 1, Array[Short](1, 2, 3))
+    ragged(22) = 2 // claim stereo over 3 samples
+    assert(Codecs.decodeAudio(ragged).isEmpty)
+  }
+
+  test("WAV roundtrip property: decode(encodeWav(...)) is exact") {
+    val gen = for {
+      rate <- Gen.choose(1, 48000)
+      ch <- Gen.choose(1, 4)
+      frames <- Gen.choose(1, 50)
+      samples <- Gen.listOfN(frames * ch,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, ch, samples.map(_.toShort).toArray)
+    val prop = Prop.forAll(gen) { case (rate, ch, samples) =>
+      val a = Codecs.decodeAudio(Codecs.encodeWav(rate, ch, samples)).get
+      a.codec == "wav" && a.sampleRate == rate && a.channels == ch &&
+        a.samples.toSeq == samples.toSeq
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decodeAudio over syntheticAudio matches the generating formula") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val stats = Multimodal.decodeAudio(Multimodal.syntheticAudio(docs))
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(stats.size == 40)
+    for (id <- 0L until 40L) {
+      val ch = (1 + id % 2).toInt
+      val n = (50 + id % 37).toInt * ch
+      val xs = (0 until n).map(i => (id * 31 + i * 17) % 4001 - 2000)
+      val s = stats(id)
+      assert(s.codec == "wav" && s.sample_rate == 8000 && s.channels == ch)
+      assert(s.n_samples == n && s.duration_ms == (n / ch) * 1000 / 8000)
+      assert(s.sum_abs == xs.map(math.abs).sum, s"sum_abs wrong for id=$id")
+      assert(s.max_abs == xs.map(math.abs).max)
+      assert(s.zero_crossings ==
+        (1 until n).count(i => (xs(i) < 0) != (xs(i - 1) < 0)))
+    }
+  }
 }
