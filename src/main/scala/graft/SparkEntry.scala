@@ -153,6 +153,48 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // ---- S10 time-travel: manifest snapshot as-of (Iceberg analog) ----
+    // deterministic manifest fixture over 16 partitions: every
+    // partition has an attempt-1 commit at epoch + p·600 s, every
+    // p ≡ 2 (mod 3) a later attempt-2 commit at +5000 s, and every
+    // p ≡ 0 (mod 4) a dangling 'started' intent row that a snapshot
+    // must ignore. As-of epoch+7000 s the visible state is partitions
+    // 0..11 with p=2 at attempt 2 — latest committed attempt wins,
+    // uncommitted partitions are absent. The oracle replays the same
+    // arithmetic; doc mass joins in from `documents` (doc → partition
+    // by doc_id mod 16, the manifest's own hash-partition scheme).
+    "snapshot_asof" -> ((s, dir) => {
+      val epochSec = 1767225600L // 2026-01-01T00:00:00Z, fixture epoch
+      val a1 = s.range(16).select(col("id").cast("int").as("partition_id"),
+        lit("done").as("status"), lit(1).as("attempt"),
+        (lit(epochSec) + col("id") * 600).cast("timestamp").as("finished_ts"),
+        (lit(100L) + col("id")).as("rows_out"),
+        (lit(90L) + col("id")).as("ok_rows"), lit(10L).as("err_rows"))
+      val a2 = s.range(16).filter(col("id") % 3 === 2)
+        .select(col("id").cast("int").as("partition_id"),
+          lit("done").as("status"), lit(2).as("attempt"),
+          (lit(epochSec) + col("id") * 600 + 5000).cast("timestamp")
+            .as("finished_ts"),
+          (lit(200L) + col("id")).as("rows_out"),
+          (lit(195L) + col("id")).as("ok_rows"), lit(5L).as("err_rows"))
+      val noise = s.range(16).filter(col("id") % 4 === 0)
+        .select(col("id").cast("int").as("partition_id"),
+          lit("started").as("status"), lit(3).as("attempt"),
+          lit(null).cast("timestamp").as("finished_ts"),
+          lit(0L).as("rows_out"), lit(0L).as("ok_rows"), lit(0L).as("err_rows"))
+      val manifest = a1.unionByName(a2).unionByName(noise)
+      val snap = graft.store.Manifest.snapshotAsOf(manifest,
+        lit(epochSec + 7000).cast("timestamp"))
+      val d = docs(s, dir)
+        .groupBy(pmod(col("doc_id"), lit(16)).cast("int").as("partition_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("double").as("doc_chars"))
+      snap.join(d, Seq("partition_id"))
+        .select(col("partition_id").cast("long").as("partition_id"),
+          col("attempt"), col("rows_out"), col("ok_rows"),
+          col("n_docs"), col("doc_chars"))
+    }),
+
     // ---- retrieval V1–V4, V10 ----
     // exploded to (doc_id, dim, value) scalar rows: the driver's
     // pandas comparator cannot sort/hash array columns, and the
@@ -413,6 +455,21 @@ object SparkEntry {
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term").asc)
         .limit(25)),
+    // per-language vocabulary census: token mass + EXACT distinct-term
+    // count (count_distinct = partial agg keyed (lang, term), then a
+    // count per lang — two map-combinable exchanges, no collect). The
+    // 100 TB switch is approx_count_distinct (HLL++: O(1) mergeable
+    // sketch per lang, ONE exchange) — same query shape, documented
+    // like group_median → approx_percentile; TextOpsSpec pins the
+    // estimate inside its error bound against this exact gate. Terms
+    // share vocab_top's tokenizer (Dedup.wordsCol = [A-Za-z0-9]+ runs).
+    "vocab_census" -> ((s, dir) =>
+      graft.util.Staged.explodeOnce(
+        docs(s, dir).withColumn("lang", coalesce(col("lang"), lit("<null>"))),
+        Seq(col("lang")), Dedup.wordsCol(lower(col("text"))), "term")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("term")).as("n_terms"))),
     // stratified per-language keep rates (policy map, pure map-side)
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(docs(s, dir), "doc_id", "lang",
@@ -617,6 +674,27 @@ object SparkEntry {
          |FROM documents WHERE doc_id < 300""".stripMargin),
     "resume_pending" ->
       "SELECT doc_id FROM documents WHERE doc_id % 16 >= 10",
+    // time-travel replay: same fixture arithmetic as the query —
+    // attempt-1 commit at p*600 s, attempt-2 (p%3=2) at +5000 s,
+    // as-of cutoff 7000 s; latest committed attempt <= cutoff wins,
+    // partitions beyond the cutoff (p*600 > 7000) are absent
+    "snapshot_asof" ->
+      ("""WITH w AS (
+         |  SELECT p.range AS pid,
+         |    CASE WHEN p.range % 3 = 2 AND p.range*600 + 5000 <= 7000
+         |         THEN 2 ELSE 1 END AS attempt
+         |  FROM range(0, 16) p WHERE p.range*600 <= 7000),
+         |d AS (SELECT doc_id % 16 AS pid, count(*) AS n_docs,
+         |        CAST(sum(n_chars) AS DOUBLE) AS doc_chars
+         |      FROM documents GROUP BY 1)
+         |SELECT CAST(w.pid AS BIGINT) AS partition_id,
+         |  CAST(attempt AS INT) AS attempt,
+         |  CAST(CASE WHEN attempt = 2 THEN 200 + w.pid
+         |            ELSE 100 + w.pid END AS BIGINT) AS rows_out,
+         |  CAST(CASE WHEN attempt = 2 THEN 195 + w.pid
+         |            ELSE 90 + w.pid END AS BIGINT) AS ok_rows,
+         |  n_docs, doc_chars
+         |FROM w JOIN d ON w.pid = d.pid""".stripMargin),
     "stable_order" ->
       ("SELECT event_id, user_id, CAST(row_number() OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_rank " +
@@ -1325,6 +1403,13 @@ object OracleSql {
       ("""WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))) AS term FROM documents)
          |SELECT term, count(*) AS df FROM t GROUP BY 1
          |ORDER BY df DESC, term LIMIT 25""".stripMargin),
+    "vocab_census" ->
+      ("""WITH t AS (SELECT coalesce(lang, '<null>') AS lang,
+         |  unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_tokens,
+         |  count(DISTINCT term) AS n_terms
+         |FROM t GROUP BY 1""".stripMargin),
     // GROUPING() labels subtotal rows — coalesce alone would collide
     // them with detail rows whose group value is genuinely NULL
     "corpus_rollup" ->

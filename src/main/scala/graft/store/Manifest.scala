@@ -61,6 +61,47 @@ object Manifest {
     domain.join(done, Seq("partition_id"), "left_anti")
   }
 
+  /** Time-travel over the manifest — the Iceberg-snapshot analog for
+    * the parquet+manifest stand-in: the table state visible at `asOf`
+    * is, per partition, the LATEST 'done' attempt whose manifest
+    * commit finished at or before `asOf`; partitions with no such
+    * commit are absent (their data may exist on disk mid-write — the
+    * manifest row IS the commit, exactly like an Iceberg snapshot
+    * only exposing files its manifest list references). 'started'
+    * rows (intent lineage) never surface in a snapshot.
+    *
+    * Winner election is max(struct(attempt, finished_ts, …)) — an
+    * AGGREGATE, not a rank window, so a hot partition with many
+    * attempts never funnels through one task (the dedupParagraphs
+    * lesson). Cost is O(manifest rows) = O(partitions·attempts),
+    * never O(data).
+    */
+  def snapshotAsOf(manifest: DataFrame, asOf: Column): DataFrame =
+    manifest
+      .filter(col("status") === "done" && col("finished_ts") <= asOf)
+      .groupBy("partition_id")
+      .agg(max(struct(col("attempt"), col("finished_ts"), col("rows_out"),
+        col("ok_rows"), col("err_rows"))).as("w"))
+      .select(col("partition_id"), col("w.attempt").as("attempt"),
+        col("w.finished_ts").as("finished_ts"),
+        col("w.rows_out").as("rows_out"), col("w.ok_rows").as("ok_rows"),
+        col("w.err_rows").as("err_rows"))
+
+  /** Read the data as of a snapshot: scan pruned to the committed
+    * partition set. The snapshot frame is tiny (one row per committed
+    * partition), so the semi join broadcasts and — because the output
+    * table is `partitionBy(partition_id)` — becomes partition pruning
+    * at the scan (uncommitted partitions' files are never opened).
+    * This is the read half of exactly-once: a partition written but
+    * not manifest-committed is invisible, matching `pending`'s
+    * decision to rewrite it.
+    */
+  def readSnapshot(spark: SparkSession, outDir: String, manifest: DataFrame,
+      asOf: Column): DataFrame =
+    spark.read.parquet(outDir).join(
+      broadcast(snapshotAsOf(manifest, asOf).select("partition_id")),
+      Seq("partition_id"), "left_semi")
+
   /** Run extraction over the pending partitions only, committing in
     * batches of `partitionsPerCommit` (the kill/resume granularity).
     * Returns number of partitions processed this invocation.

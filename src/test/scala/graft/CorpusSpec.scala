@@ -488,4 +488,32 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the margin is real, not a threshold graze
     assert(g.map(_._2).min > b.map(_._2).max + 0.5)
   }
+
+  test("vocab census scale switch: approx_count_distinct within HLL bound") {
+    import spark.implicits._
+    // three language slices with different true vocabulary sizes —
+    // the exact count is the oracle-gated small-SF path, HLL++ the
+    // documented 100 TB switch (one mergeable sketch per group, one
+    // exchange); this pins the switch's error against the exact gate
+    val docs = (0 until 3).flatMap { l =>
+      (0 until 120).map { d =>
+        val vocab = 400 * (l + 1)
+        val terms = (0 until 60).map(i => s"w${l}x${(d * 37 + i * 11) % vocab}")
+        (s"lang$l", terms.mkString(" "))
+      }
+    }.toDF("lang", "text")
+    val tokens = graft.util.Staged.explodeOnce(docs, Seq(col("lang")),
+      graft.text.Dedup.wordsCol(lower(col("text"))), "term")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toMap(tokens.groupBy("lang")
+      .agg(count_distinct(col("term")).as("n")))
+    val approx = toMap(tokens.groupBy("lang")
+      .agg(approx_count_distinct(col("term"), 0.02).as("n")))
+    assert(exact.keySet == approx.keySet && exact.size == 3)
+    exact.foreach { case (lang, n) =>
+      assert(n > 0 && math.abs(approx(lang) - n).toDouble / n < 0.06,
+        s"$lang: exact=$n approx=${approx(lang)}")
+    }
+  }
 }

@@ -72,6 +72,60 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == count1)
   }
 
+  test("manifest snapshot: latest committed attempt as of ts, intents invisible") {
+    import spark.implicits._
+    val epochMs = 1767225600000L
+    def ts(off: Long) = new java.sql.Timestamp(epochMs + off * 1000L)
+    val manifest = Seq(
+      (0, "done", 1, Option(ts(0)), 10L, 9L, 1L),
+      (0, "done", 2, Option(ts(100)), 12L, 12L, 0L), // later attempt
+      (0, "started", 3, Option.empty[java.sql.Timestamp], 0L, 0L, 0L),
+      (1, "done", 1, Option(ts(500)), 20L, 20L, 0L), // beyond early cutoffs
+      (2, "started", 1, Option.empty[java.sql.Timestamp], 0L, 0L, 0L)
+    ).toDF("partition_id", "status", "attempt", "finished_ts",
+      "rows_out", "ok_rows", "err_rows")
+    def snapAt(off: Long) =
+      Manifest.snapshotAsOf(manifest, lit(ts(off)))
+        .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(3))).toMap
+    // before any commit: empty table state
+    assert(Manifest.snapshotAsOf(manifest, lit(ts(-1))).isEmpty)
+    // at t=0 only p0@attempt1; the dangling intent for p2 never surfaces
+    assert(snapAt(0) == Map(0 -> (1, 10L)))
+    // at t=200 the attempt-2 rewrite has superseded attempt 1
+    assert(snapAt(200) == Map(0 -> (2, 12L)))
+    // at t=1000 the full committed state; p2 (intent only) still absent
+    assert(snapAt(1000) == Map(0 -> (2, 12L), 1 -> (1, 20L)))
+    // snapshots grow monotonically in the partition dimension
+    assert(snapAt(0).keySet.subsetOf(snapAt(200).keySet) &&
+      snapAt(200).keySet.subsetOf(snapAt(1000).keySet))
+  }
+
+  test("readSnapshot sees exactly the committed partitions (exactly-once read)") {
+    import spark.implicits._
+    val transcripts = spark.range(0, 20)
+      .flatMap(i => TranscriptGen.genConv(7L, i)._1).toDF()
+    val out = tmpDir() + "/out"
+    val mdir = tmpDir() + "/manifest"
+    // a run that "dies" with 2 of 6 partitions committed
+    Manifest.runResumable(spark, transcripts, out, mdir, 6,
+      partitionsPerCommit = 1, maxBatches = 2)
+    val m = Manifest.load(spark, mdir)
+    val now = lit(new java.sql.Timestamp(System.currentTimeMillis() + 60000L))
+    val snap = Manifest.readSnapshot(spark, out, m, now)
+    val committed = m.filter(col("status") === "done")
+      .select("partition_id").distinct().as[Int].collect().toSet
+    assert(committed.size == 2)
+    assert(snap.select("partition_id").distinct().as[Int].collect().toSet
+      == committed)
+    // the read reconciles with the manifest's lineage metrics
+    assert(snap.count() ==
+      m.filter(col("status") === "done").agg(sum("rows_out")).head.getLong(0))
+    // time-travel to before the epoch: the table state is empty even
+    // though bytes exist on disk — the manifest row IS the commit
+    assert(Manifest.readSnapshot(spark, out, m,
+      lit(new java.sql.Timestamp(0L))).isEmpty)
+  }
+
   test("hash embedder: native expression == HOF composition == pure-JVM twin") {
     import spark.implicits._
     val texts = Seq("spark merge join table scan", "AT+CFUN=1 set mode.",
