@@ -37,6 +37,33 @@ object SparkEntry {
   /** Token regex shared by Spark queries and DuckDB oracles. */
   private val TokRe = Tokenizer.TokenRegex
 
+  /** span-dedup fixture constants, shared with the oracle SQL:
+    * 12-token banner, 14-token trailer (both > k = 8, so interior
+    * grams duplicate; junction grams straddling fixture and document
+    * text stay unique per doc)
+    */
+  private[graft] val SpanBanner =
+    "start of document banner shared across every fifth document in this corpus"
+  private[graft] val SpanTrailer =
+    "this footer sentence repeats verbatim at the end of every even numbered document here"
+
+  /** deterministic duplicated-span fixture over the (unique-text)
+    * corpus: shared trailer on even ids, shared banner ahead of
+    * ids % 5 == 0, and for ids % 7 == 0 the doc's own first 12 tokens
+    * appended (within-doc duplication — its winner is the doc's own
+    * leading occurrence)
+    */
+  private def spanFixture(d: DataFrame): DataFrame = {
+    val t2 = when(col("doc_id") % 5 === 0,
+      concat_ws(" ", lit(SpanBanner), col("text"))).otherwise(col("text"))
+    val t3 = when(col("doc_id") % 2 === 0,
+      concat_ws(" ", t2, lit(SpanTrailer))).otherwise(t2)
+    val t4 = when(col("doc_id") % 7 === 0,
+      concat_ws(" ", t3, concat_ws(" ", slice(Dedup.wordsCol(t3), 1, 12))))
+      .otherwise(t3)
+    d.select(col("doc_id"), t4.as("text"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- conversion core C1–C13 ----
@@ -391,6 +418,16 @@ object SparkEntry {
             lit(" readers: this paragraph is shared by every document of the language."),
             lit("\n\nShort.")).as("text")),
         "doc_id", "text")),
+    // span-level exact substring dedup (Lee et al., ACL 2022) over a
+    // fixture that plants duplicated k-gram runs: a shared 14-token
+    // trailer on even ids, a shared 12-token banner ahead of ids % 5
+    // == 0, and for ids % 7 == 0 the doc's own first 12 tokens copied
+    // to the end (within-doc duplication); the corpus' own text is
+    // unique, so both engines derive the same spans
+    "dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(spanFixture(docs(s, dir)), "doc_id", "text")),
+    "substring_dedup" -> ((s, dir) =>
+      Dedup.dedupSpans(spanFixture(docs(s, dir)), "doc_id", "text")),
     // normalization over a fixture that plants deterministic mess per
     // doc (the corpus is clean ASCII — both engines build the same
     // fixture): a decomposed accent (e + U+0301), CRLF, a bell control
@@ -1101,6 +1138,26 @@ object OracleSql {
   private val sqlWords = "regexp_extract_all(text, '[A-Za-z0-9]+')"
   private def sqlHash(e: String) =
     s"CAST('0x'||substr(sha256($e),1,15) AS BIGINT)"
+
+  /** span-dedup oracle CTE chain shared by dup_spans and
+    * substring_dedup: the planted-duplication fixture (same constants
+    * as the Spark side), k=8 gram hashing with the shared 60-bit hash
+    * (collision semantics identical to the engine), first-occurrence
+    * winner via row_number over (doc_id, pos), and fixed-width
+    * gaps-and-islands span merging (new span iff gap > k)
+    */
+  private lazy val spanDedupCte =
+    s"""WITH f0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '${SparkEntry.SpanBanner}' || ' ' || text ELSE text END AS text FROM documents),
+       |f1 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text || ' ' || '${SparkEntry.SpanTrailer}' ELSE text END AS text FROM f0),
+       |fx AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' ' || array_to_string(($sqlWords)[1:12], ' ') ELSE text END AS text FROM f1),
+       |t AS (SELECT doc_id, $sqlWords AS ts FROM fx),
+       |gx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 7, 0)::BIGINT)) AS pos FROM t),
+       |gr AS (SELECT doc_id, pos, ${sqlHash("array_to_string(ts[pos+1:pos+8], ' ')")} AS g FROM gx),
+       |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM gr) WHERE rn > 1),
+       |i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk FROM d),
+       |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+       |sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end FROM isl GROUP BY doc_id, island)""".stripMargin
   /** MinHash sig/band CTE chain — ONE definition for the full and
     * incremental pair oracles (a drifting hand copy is exactly how
     * oracle divergences start)
@@ -1328,6 +1385,23 @@ object OracleSql {
          |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
          |  array_to_string(coalesce(list(para ORDER BY idx) FILTER (WHERE keep), []), chr(10)||chr(10)) AS cleaned
          |FROM d GROUP BY doc_id""".stripMargin),
+    // span-level substring dedup: same planted-duplication fixture;
+    // the CTE replays gram hashing, winner election, and span merging
+    "dup_spans" ->
+      (spanDedupCte + "\nSELECT doc_id, span_start, span_end FROM sp"),
+    "substring_dedup" ->
+      (spanDedupCte +
+        s""",
+           |agg AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS sps,
+           |    count(*)::BIGINT AS n_spans, sum(span_end - span_start)::BIGINT AS dup_tokens
+           |  FROM sp GROUP BY doc_id)
+           |SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
+           |  coalesce(n_spans, 0)::BIGINT AS n_spans,
+           |  coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           |  CASE WHEN sps IS NULL THEN coalesce(array_to_string(ts, ' '), '')
+           |       ELSE coalesce(array_to_string(list_filter(ts, (x, i) ->
+           |         len(list_filter(sps, q -> i-1 >= q.s AND i-1 < q.e)) = 0), ' '), '') END AS cleaned
+           |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin),
     // normalization: the SAME injected fixture (decomposed accent,
     // CRLF, bell, tab run, double spaces, outer spaces), ICU
     // nfc_normalize = JDK Normalizer NFC, Java∩RE2-safe classes,

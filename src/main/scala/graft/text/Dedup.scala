@@ -724,4 +724,117 @@ object Dedup {
     sh.unpersist()
     out
   }
+
+  // ---- span-level exact substring dedup ----
+
+  /** Duplicated k-token spans — the span-removal flavor of exact
+    * substring dedup (Lee et al., ACL 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): a token k-gram is DUPLICATED
+    * when it occurs at least twice in the corpus (across documents or
+    * within one). The globally-first occurrence — min (doc_id, pos) —
+    * stays as the canonical copy; every OTHER occurrence marks its
+    * k-token window [pos, pos+k), and overlapping or exactly-adjacent
+    * marked windows merge into maximal spans.
+    *
+    * Returns one row per maximal span: (doc_id, span_start, span_end),
+    * token positions, end-exclusive.
+    *
+    * Scale shape (100 TB): the occurrence frame is (doc_id, pos,
+    * 60-bit gram hash) — 8-byte join keys from the native one-pass
+    * [[TextExprs.shingleHashes]] kernel; gram TEXT never shuffles. (A
+    * 2^-60 collision merges two grams — negligible, and mirrored
+    * exactly by the oracle's identical hash.) Winner election is an
+    * AGGREGATE min(struct(doc_id, pos)) with map-side combine — a rank
+    * window would funnel every occurrence of a hot boilerplate gram
+    * into one task (the dedupParagraphs lesson). The mark-join back is
+    * an equi-join on the hash where the winner side carries ONE row
+    * per gram — the AQE-splittable skew shape. Span merging is a
+    * per-document window: keyed by doc_id, bounded by document length,
+    * no hot-key exposure. The paper's suffix array is the
+    * single-machine construction; this k-gram formulation is the
+    * shuffle-native one, at the cost of fixing a minimum match
+    * length of k tokens.
+    *
+    * @param materialize persist the text-free occurrence frame while
+    *   the winner election and mark join both consume it, then
+    *   checkpoint the (small) span frame and release the cache —
+    *   false returns the lazy plan (shape audits), recomputing the
+    *   tokenize+hash pipeline per consumer
+    * @param reliable checkpoint spans to the session's checkpoint dir
+    *   instead of localCheckpoint (the dedupParagraphs trade: survives
+    *   executor loss under dynamic allocation)
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, materialize: Boolean = true,
+      reliable: Boolean = false): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(!reliable || materialize,
+      "reliable=true requires materialize=true (nothing to checkpoint otherwise)")
+    require(!reliable ||
+      docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires spark.sparkContext.setCheckpointDir — " +
+        "point it at cluster-durable storage (HDFS/object store)")
+    val grams = spread(docs).select(col(idCol).cast("long").as("doc_id"),
+      TextExprs.shingleHashes(col(textCol), distinct = false, n = k).as("gs"))
+    val occ = graft.util.Staged.posexplodeOnce(
+      grams, Seq(col("doc_id")), col("gs"), "pos", "g")
+    if (materialize) { occ.persist(); occ.count() }
+    val winners = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g", "w")
+    val dups = occ.join(winners, Seq("g"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("w"))
+      .select("doc_id", "pos")
+    // gaps-and-islands over FIXED-width windows: every window is k
+    // tokens, so [prev, prev+k) and [pos, pos+k) merge iff
+    // pos - prev <= k (overlap or exact adjacency); first row's lag is
+    // null -> null > k -> otherwise(0), island ids start at 0
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans0 = dups
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + k).cast("long").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+    if (!materialize) return spans0
+    // spans are 3 narrow fields per duplicated REGION (not per gram) —
+    // materialize them so the occurrence cache can be released before
+    // returning the lazy plan
+    val out = if (reliable) spans0.checkpoint() else spans0.localCheckpoint()
+    occ.unpersist()
+    out
+  }
+
+  /** Per-document substring-dedup summary + cleaned text: token count,
+    * maximal-span count, duplicated-token count, and the document
+    * re-joined from the tokens OUTSIDE every duplicated span. The op
+    * lives in token space — spans are token positions — so `cleaned`
+    * is the single-space-joined kept-token stream, not the raw string
+    * with original whitespace (the raw-string variant needs character
+    * offsets through the tokenizer, which [[WordRegex]] discards).
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, materialize: Boolean = true,
+      reliable: Boolean = false): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, k, materialize, reliable)
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("n_spans"),
+      sum(col("span_end") - col("span_start")).cast("long").as("dup_tokens"),
+      collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        wordsCol(col(textCol)).as("ts"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("sps").isNull, concat_ws(" ", col("ts")))
+          .otherwise(concat_ws(" ", filter(col("ts"),
+            (t: Column, i: Column) => !exists(col("sps"),
+              s => i >= s.getField("span_start") &&
+                i < s.getField("span_end"))))).as("cleaned"))
+  }
 }
