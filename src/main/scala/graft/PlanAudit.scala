@@ -28,7 +28,7 @@ object PlanAudit {
       "distinctive_terms", "corpus_rollup", "group_percentiles",
       "quality_model", "mm_decode_ppm", "mm_decode_bmp", "mm_decode_wav",
       "compact_roundtrip", "snapshot_asof", "vocab_census",
-      "dup_spans", "substring_dedup")
+      "dup_spans", "substring_dedup", "dup_spans_incremental")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -47,6 +47,12 @@ object SparkEntry {
   private[graft] val SpanTrailer =
     "this footer sentence repeats verbatim at the end of every even numbered document here"
 
+  /** 11-token within-batch duplicate line for the incremental span
+    * fixture (appears in half the batch, never in the corpus)
+    */
+  private[graft] val SpanBatchLine =
+    "shared batch boilerplate sentence repeated across half of this ingest batch"
+
   /** deterministic duplicated-span fixture over the (unique-text)
     * corpus: shared trailer on even ids, shared banner ahead of
     * ids % 5 == 0, and for ids % 7 == 0 the doc's own first 12 tokens
@@ -428,6 +434,24 @@ object SparkEntry {
       Dedup.dupSpans(spanFixture(docs(s, dir)), "doc_id", "text")),
     "substring_dedup" -> ((s, dir) =>
       Dedup.dedupSpans(spanFixture(docs(s, dir)), "doc_id", "text")),
+    // incremental (batch-vs-corpus) substring dedup: the batch is
+    // every 10th doc rewritten as new text around a 12-token copy of
+    // its own corpus document (corpus-hit spans), with half the batch
+    // sharing an 11-token closing line (within-batch spans; the
+    // lowest batch doc_id keeps it)
+    "dup_spans_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b0 = d.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"),
+          concat_ws(" ", lit("newa newb newc"),
+            concat_ws(" ", slice(Dedup.wordsCol(col("text")), 1, 12)),
+            lit("trail1 trail2")).as("text"))
+      val batch = b0.select(col("doc_id"),
+        when(col("doc_id") % 20 === 3,
+          concat_ws(" ", col("text"), lit(SpanBatchLine)))
+          .otherwise(col("text")).as("text"))
+      Dedup.dupSpansIncremental(d, batch, "doc_id", "text")
+    }),
     // normalization over a fixture that plants deterministic mess per
     // doc (the corpus is clean ASCII — both engines build the same
     // fixture): a decomposed accent (e + U+0301), CRLF, a bell control
@@ -1402,6 +1426,27 @@ object OracleSql {
            |       ELSE coalesce(array_to_string(list_filter(ts, (x, i) ->
            |         len(list_filter(sps, q -> i-1 >= q.s AND i-1 < q.e)) = 0), ' '), '') END AS cleaned
            |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin),
+    // incremental substring dedup: batch occurrences are marked when
+    // the gram exists anywhere in the corpus OR repeats within the
+    // batch after its first occurrence; same island merge
+    "dup_spans_incremental" ->
+      (s"""WITH ct AS (SELECT $sqlWords AS ts FROM documents),
+         |cgx AS (SELECT ts, unnest(range(0, greatest(len(ts) - 7, 0)::BIGINT)) AS pos FROM ct),
+         |cg AS (SELECT DISTINCT ${sqlHash("array_to_string(ts[pos+1:pos+8], ' ')")} AS g FROM cgx),
+         |b0 AS (SELECT doc_id, 'newa newb newc' || ' ' || array_to_string(($sqlWords)[1:12], ' ') || ' ' || 'trail1 trail2' AS text
+         |  FROM documents WHERE doc_id % 10 = 3),
+         |bx AS (SELECT doc_id, CASE WHEN doc_id % 20 = 3 THEN text || ' ' || '${SparkEntry.SpanBatchLine}' ELSE text END AS text FROM b0),
+         |bt AS (SELECT doc_id, $sqlWords AS ts FROM bx),
+         |bgx AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 7, 0)::BIGINT)) AS pos FROM bt),
+         |bg AS (SELECT doc_id, pos, ${sqlHash("array_to_string(ts[pos+1:pos+8], ' ')")} AS g FROM bgx),
+         |d AS (SELECT doc_id, pos FROM (
+         |    SELECT b.doc_id, b.pos, cg.g AS ing,
+         |      row_number() OVER (PARTITION BY b.g ORDER BY b.doc_id, b.pos) AS rn
+         |    FROM bg b LEFT JOIN cg ON cg.g = b.g)
+         |  WHERE ing IS NOT NULL OR rn > 1),
+         |i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk FROM d),
+         |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end FROM isl GROUP BY doc_id, island""".stripMargin),
     // normalization: the SAME injected fixture (decomposed accent,
     // CRLF, bell, tab run, double spaces, outer spaces), ICU
     // nfc_normalize = JDK Normalizer NFC, Java∩RE2-safe classes,

@@ -786,13 +786,27 @@ object Dedup {
     val dups = occ.join(winners, Seq("g"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("w"))
       .select("doc_id", "pos")
-    // gaps-and-islands over FIXED-width windows: every window is k
-    // tokens, so [prev, prev+k) and [pos, pos+k) merge iff
-    // pos - prev <= k (overlap or exact adjacency); first row's lag is
-    // null -> null > k -> otherwise(0), island ids start at 0
+    val spans0 = mergeWindows(dups, k)
+    if (!materialize) return spans0
+    // spans are 3 narrow fields per duplicated REGION (not per gram) —
+    // materialize them so the occurrence cache can be released before
+    // returning the lazy plan
+    val out = if (reliable) spans0.checkpoint() else spans0.localCheckpoint()
+    occ.unpersist()
+    out
+  }
+
+  /** gaps-and-islands merge of marked FIXED-width k-token windows
+    * (doc_id, pos) into maximal spans: every window is k tokens, so
+    * [prev, prev+k) and [pos, pos+k) merge iff pos - prev <= k
+    * (overlap or exact adjacency); first row's lag is null -> null > k
+    * -> otherwise(0), island ids start at 0. Per-document window —
+    * keyed by doc_id, bounded by document length, no hot-key exposure.
+    */
+  private def mergeWindows(dups: DataFrame, k: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val spans0 = dups
+    dups
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(byDoc) > k, 1).otherwise(0))
       .withColumn("island", sum("brk").over(byDoc))
@@ -800,11 +814,49 @@ object Dedup {
       .agg(min("pos").cast("long").as("span_start"),
         (max("pos") + k).cast("long").as("span_end"))
       .select("doc_id", "span_start", "span_end")
-    if (!materialize) return spans0
-    // spans are 3 narrow fields per duplicated REGION (not per gram) —
-    // materialize them so the occurrence cache can be released before
-    // returning the lazy plan
-    val out = if (reliable) spans0.checkpoint() else spans0.localCheckpoint()
+  }
+
+  /** Incremental substring dedup — the production ingestion shape
+    * (the minhashPairsIncremental asymmetry): duplicated k-token
+    * spans of a NEW batch against an already-ingested corpus plus the
+    * batch itself. A batch occurrence is marked when its gram occurs
+    * ANYWHERE in the corpus (every corpus copy is canonical — the
+    * corpus is assumed already deduped), or when it occurs >= 2 times
+    * within the batch and is not the batch's first occurrence.
+    * Corpus text is never re-scanned for spans and never shuffles as
+    * text: only its distinct gram-hash set travels. Returns batch
+    * spans (doc_id, span_start, span_end).
+    *
+    * Scale shape: |distinct corpus grams| >> |batch grams|, so the
+    * corpus leg is reduced to one 8-byte hash per distinct gram
+    * map-side (partial agg) before the equi-join; the batch-side
+    * occurrence frame is small by construction. At 100 TB the
+    * distinct-gram set is itself large — but it shuffles once,
+    * joins once, and never carries text or positions.
+    */
+  def dupSpansIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def occFrame(d: DataFrame) = graft.util.Staged.posexplodeOnce(
+      spread(d).select(col(idCol).cast("long").as("doc_id"),
+        TextExprs.shingleHashes(col(textCol), distinct = false, n = k)
+          .as("gs")),
+      Seq(col("doc_id")), col("gs"), "pos", "g")
+    val corpusGrams = occFrame(corpus).select("g").distinct()
+      .withColumn("in_corpus", lit(true))
+    val occ = occFrame(batch)
+    occ.persist(); occ.count() // two consumers: batch election + mark
+    val batchWinners = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("cnt"))
+    val dups = occ
+      .join(batchWinners, Seq("g"))
+      .join(corpusGrams, Seq("g"), "left")
+      .filter(coalesce(col("in_corpus"), lit(false)) ||
+        (col("cnt") >= 2 &&
+          struct(col("doc_id"), col("pos")) =!= col("w")))
+      .select("doc_id", "pos")
+    val out = mergeWindows(dups, k).localCheckpoint()
     occ.unpersist()
     out
   }

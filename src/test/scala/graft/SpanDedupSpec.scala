@@ -100,6 +100,38 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental: corpus hits are marked everywhere, corpus emits no rows") {
+    val corpus = df(1L -> toks(0 until 12), 2L -> toks(8 until 20))
+    // batch doc 10 embeds corpus doc 1's 12 tokens: EVERY copy in the
+    // batch is marked (the corpus copy is the canonical one)
+    val batch = df(10L -> s"n1 n2 n3 ${toks(0 until 12)} m1 m2")
+    val out = Dedup.dupSpansIncremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 3L, 15L)))
+  }
+
+  test("incremental: within-batch dups elect a first occurrence; corpus-free") {
+    val corpus = df(1L -> toks(0 until 12))
+    // 10 tokens whose 8-grams need W(12..17) — beyond the corpus doc's
+    // W(0..11), so no corpus gram matches; dup is batch-internal only
+    val shared = toks(8 until 18)
+    val batch = df(
+      20L -> s"u1 u2 u3 u4 u5 u6 u7 u8 $shared",
+      21L -> s"v1 v2 v3 v4 v5 v6 v7 v8 $shared")
+    val out = Dedup.dupSpansIncremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 20 (first occurrence) keeps the shared run; doc 21's copy at
+    // positions 8..17 is marked via grams fully inside -> [8, 18)
+    assert(out == Set((21L, 8L, 18L)))
+  }
+
+  test("incremental: a unique batch is untouched") {
+    val corpus = df(1L -> toks(0 until 20))
+    val batch = df(30L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")
+    assert(Dedup.dupSpansIncremental(corpus, batch, "doc_id", "text")
+      .count() == 0)
+  }
+
   test("lazy plan (materialize=false) equals the checkpointed default") {
     val d = df(
       1L -> toks(0 until 12),
