@@ -6,9 +6,9 @@ import graft.chunk.{ChunkOps, Tokenizer}
 import graft.extract.ExtractPipeline
 import graft.gen.TranscriptGen
 import graft.multimodal.Multimodal
-import graft.rag.{AnnIvf, AnnLsh, AnnPq, Confidence, HashEmbedder, TopK}
+import graft.rag.{AnnIvf, AnnLsh, AnnPq, Bm25, Confidence, HashEmbedder, TopK}
 import graft.store.{Ids, StoreOps}
-import graft.text.{Corpus, Dedup, TextOps}
+import graft.text.{Corpus, Dedup, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,19 @@ object SparkEntry {
     * appended (within-doc duplication — its winner is the doc's own
     * leading occurrence)
     */
+  /** URL fixture: two URLs appended to every third doc — a per-doc
+    * spam host (7 variants) and one shared clean host
+    */
+  private def urlFixture(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" see https://spam"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p"), col("doc_id").cast("string"),
+            lit(" and https://ok.example.org/a")))
+          .otherwise(lit(""))).as("text"))
+
   private def spanFixture(d: DataFrame): DataFrame = {
     val t2 = when(col("doc_id") % 5 === 0,
       concat_ws(" ", lit(SpanBanner), col("text"))).otherwise(col("text"))
@@ -452,6 +465,41 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.dupSpansIncremental(d, batch, "doc_id", "text")
     }),
+    // URL/domain family over a fixture that plants two URLs on every
+    // third doc (the corpus text itself carries none): per-domain
+    // census, blocklist filtering, URL-normalization dedup
+    "domain_census" -> ((s, dir) =>
+      UrlOps.domainCensus(urlFixture(docs(s, dir)), "doc_id", "text")),
+    "domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = (0 to 3).map(i => s"spam$i.example.com").toDF("host")
+      UrlOps.filterBlockedDomains(urlFixture(docs(s, dir)),
+        "doc_id", "text", blocked).select("doc_id")
+    }),
+    // four URL spellings per site collapse under normalization:
+    // explicit :80, uppercase host, a #fragment (all -> .../page),
+    // and a lone trailing slash (its own group, host-only form)
+    "url_dedup" -> ((s, dir) => {
+      val pages = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 1, lit("http://SITE"))
+            .otherwise(lit("http://site")),
+          (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 4 === 1, lit(".EXAMPLE.COM"))
+            .otherwise(lit(".example.com")),
+          when(col("doc_id") % 4 === 0, lit(":80/page"))
+            .when(col("doc_id") % 4 === 1, lit("/page"))
+            .when(col("doc_id") % 4 === 2, lit("/page#frag"))
+            .otherwise(lit("/"))).as("url"))
+      UrlOps.dedupByUrl(pages, "doc_id", "url")
+    }),
+    // BM25 keyword retrieval (hybrid-search complement to the
+    // embedding top-k family): three common corpus terms, top-10 by
+    // (score desc, doc_id) — score doubles are hash-compared, so the
+    // per-term conditional-aggregate combine is fixed-order
+    "bm25_search" -> ((s, dir) =>
+      Bm25.search(docs(s, dir), "doc_id", "text",
+        Seq("hash", "join", "vector"), topK = 10)),
     // normalization over a fixture that plants deterministic mess per
     // doc (the corpus is clean ASCII — both engines build the same
     // fixture): a decomposed accent (e + U+0301), CRLF, a bell control
@@ -1447,6 +1495,58 @@ object OracleSql {
          |i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk FROM d),
          |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
          |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end FROM isl GROUP BY doc_id, island""".stripMargin),
+    // BM25: independent full re-derivation — tf/df/N/avgdl from the
+    // table, glibc ln == JVM Math.log (gate-asserted), constants as
+    // shared-parse literal arithmetic ((1.2 + 1.0) parses and adds to
+    // the same double in both engines), contribs combined in the same
+    // fixed term order
+    "bm25_search" ->
+      (s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws FROM documents),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(len(ws))::BIGINT AS tok FROM t),
+         |e AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM t),
+         |f AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM e WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+         |d AS (SELECT term, count(*)::BIGINT AS df FROM f GROUP BY 1),
+         |c AS (SELECT f.doc_id, f.term,
+         |    ln(1.0 + (st.n::DOUBLE - d.df::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5)) *
+         |    ((f.tf * (1.2 + 1.0)) / (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * f.dl::DOUBLE / (st.tok::DOUBLE / st.n::DOUBLE)))) AS contrib
+         |  FROM f JOIN d USING (term) CROSS JOIN st),
+         |s AS (SELECT doc_id,
+         |    sum(CASE WHEN term = 'hash' THEN contrib ELSE 0.0 END) +
+         |    sum(CASE WHEN term = 'join' THEN contrib ELSE 0.0 END) +
+         |    sum(CASE WHEN term = 'vector' THEN contrib ELSE 0.0 END) AS score,
+         |    count(*)::BIGINT AS n_matched
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, score, n_matched FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    // URL/domain family: same planted-URL fixture; hosts lowercased,
+    // census is distinct-docs + occurrences per host
+    "domain_census" ->
+      (s"""WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+         |    THEN ' see https://spam' || (doc_id % 7)::VARCHAR || '.example.com/p' || doc_id::VARCHAR || ' and https://ok.example.org/a'
+         |    ELSE '' END AS text FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\\s]*)?')) AS url FROM fx),
+         |h AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS host FROM u)
+         |SELECT host, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_urls FROM h GROUP BY host""".stripMargin),
+    // blocklist: spam0..spam3 hosts appear exactly on docs with
+    // doc_id % 3 = 0 and doc_id % 7 <= 3 — the oracle derives the
+    // kept set in closed form, independent of the engine's join plan
+    "domain_blocklist" ->
+      "SELECT doc_id FROM documents WHERE NOT (doc_id % 3 = 0 AND doc_id % 7 <= 3)",
+    // URL dedup: replay the normalization chain (fragment strip,
+    // prefix lowercase, default-port strip, lone-slash strip)
+    "url_dedup" ->
+      (s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 1 THEN 'http://SITE' ELSE 'http://site' END ||
+         |    (doc_id % 50)::VARCHAR ||
+         |    CASE WHEN doc_id % 4 = 1 THEN '.EXAMPLE.COM' ELSE '.example.com' END ||
+         |    CASE doc_id % 4 WHEN 0 THEN ':80/page' WHEN 1 THEN '/page' WHEN 2 THEN '/page#frag' ELSE '/' END AS url
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM p),
+         |s2 AS (SELECT doc_id, u, regexp_extract(u, '^(https?://[^/]+)', 1) AS raw FROM s1),
+         |s3 AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(lower(raw), '^(http://.*):80$$', '\\1'), '^(https://.*):443$$', '\\1') AS pre,
+         |    substr(u, length(raw) + 1) AS tail FROM s2),
+         |n AS (SELECT doc_id, pre || CASE WHEN tail = '/' THEN '' ELSE tail END AS nurl FROM s3)
+         |SELECT nurl, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups FROM n GROUP BY nurl""".stripMargin),
     // normalization: the SAME injected fixture (decomposed accent,
     // CRLF, bell, tab run, double spaces, outer spaces), ICU
     // nfc_normalize = JDK Normalizer NFC, Java∩RE2-safe classes,
