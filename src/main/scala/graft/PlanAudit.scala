@@ -29,7 +29,8 @@ object PlanAudit {
       "quality_model", "mm_decode_ppm", "mm_decode_bmp", "mm_decode_wav",
       "compact_roundtrip", "snapshot_asof", "vocab_census",
       "dup_spans", "substring_dedup", "dup_spans_incremental",
-      "domain_census", "domain_blocklist", "url_dedup", "bm25_search")
+      "domain_census", "domain_blocklist", "url_dedup", "bm25_search",
+      "hybrid_search")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -6,7 +6,7 @@ import graft.chunk.{ChunkOps, Tokenizer}
 import graft.extract.ExtractPipeline
 import graft.gen.TranscriptGen
 import graft.multimodal.Multimodal
-import graft.rag.{AnnIvf, AnnLsh, AnnPq, Bm25, Confidence, HashEmbedder, TopK}
+import graft.rag.{AnnIvf, AnnLsh, AnnPq, Bm25, Confidence, HashEmbedder, Hybrid, TopK}
 import graft.store.{Ids, StoreOps}
 import graft.text.{Corpus, Dedup, TextOps, UrlOps}
 
@@ -500,6 +500,16 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       Bm25.search(docs(s, dir), "doc_id", "text",
         Seq("hash", "join", "vector"), topK = 10)),
+    // RRF hybrid fusion of the BM25 lexical list (depth 20) and the
+    // exact cosine vector list (depth 20) — vec_id and doc_id are the
+    // same entity space in the test corpus
+    "hybrid_search" -> ((s, dir) => {
+      val lex = Bm25.search(docs(s, dir), "doc_id", "text",
+        Seq("hash", "join", "vector"), topK = 20)
+      val vec = TopK.search(embeddings(s, dir), Queries.queryVec(s, dir),
+        k = 20).select(col("vec_id").as("doc_id"), col("score"))
+      Hybrid.rrfFuse(lex, vec, "doc_id", "score", k = 60, topK = 10)
+    }),
     // normalization over a fixture that plants deterministic mess per
     // doc (the corpus is clean ASCII — both engines build the same
     // fixture): a decomposed accent (e + U+0301), CRLF, a bell control
@@ -1517,6 +1527,38 @@ object OracleSql {
          |    count(*)::BIGINT AS n_matched
          |  FROM c GROUP BY doc_id)
          |SELECT doc_id, score, n_matched FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    // RRF fusion: both retrieval legs re-derived at depth 20, ranked
+    // with the same (score desc, id) tie-break, fused as fixed-order
+    // 1/(60+r) sums
+    "hybrid_search" ->
+      (s"""WITH bt AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws FROM documents),
+         |bst AS (SELECT count(*)::BIGINT AS n, sum(len(ws))::BIGINT AS tok FROM bt),
+         |be AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM bt),
+         |bf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM be WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+         |bd AS (SELECT term, count(*)::BIGINT AS df FROM bf GROUP BY 1),
+         |bc AS (SELECT bf.doc_id, bf.term,
+         |    ln(1.0 + (bst.n::DOUBLE - bd.df::DOUBLE + 0.5) / (bd.df::DOUBLE + 0.5)) *
+         |    ((bf.tf * (1.2 + 1.0)) / (bf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * bf.dl::DOUBLE / (bst.tok::DOUBLE / bst.n::DOUBLE)))) AS contrib
+         |  FROM bf JOIN bd USING (term) CROSS JOIN bst),
+         |bs AS (SELECT doc_id,
+         |    sum(CASE WHEN term = 'hash' THEN contrib ELSE 0.0 END) +
+         |    sum(CASE WHEN term = 'join' THEN contrib ELSE 0.0 END) +
+         |    sum(CASE WHEN term = 'vector' THEN contrib ELSE 0.0 END) AS score
+         |  FROM bc GROUP BY doc_id),
+         |lex AS (SELECT doc_id, score FROM bs ORDER BY score DESC, doc_id LIMIT 20),
+         |vq AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id, ${dot("embedding::DOUBLE[]", "(SELECT qe FROM vq)")} AS dot,
+         |  ${nrm("embedding::DOUBLE[]")} AS na, (SELECT ${nrm("qe")} FROM vq) AS nb
+         |  FROM embeddings),
+         |vec AS (SELECT vec_id AS doc_id, $scoreCase AS score FROM vs ORDER BY score DESC, vec_id LIMIT 20),
+         |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS r FROM lex),
+         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS r FROM vec),
+         |j AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, ra.r AS rra, rb.r AS rrb
+         |  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id,
+         |  coalesce(1.0 / (60.0 + rra::DOUBLE), 0.0) + coalesce(1.0 / (60.0 + rrb::DOUBLE), 0.0) AS rrf,
+         |  ((rra IS NOT NULL)::BIGINT + (rrb IS NOT NULL)::BIGINT) AS n_lists
+         |FROM j ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     // URL/domain family: same planted-URL fixture; hosts lowercased,
     // census is distinct-docs + occurrences per host
     "domain_census" ->

@@ -77,4 +77,35 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
       Bm25.search(d, "doc_id", "text", Seq("a", "A"))
     }
   }
+
+  // ---- RRF fusion ----
+
+  private def list(rows: (Long, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "score")
+  }
+
+  test("rrfFuse: exact scores, both-list ids first, n_lists counts") {
+    val lex = list(1L -> 0.9, 2L -> 0.8)
+    val vec = list(2L -> 0.7, 3L -> 0.6)
+    val out = graft.rag.Hybrid.rrfFuse(lex, vec, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (2L, 1.0 / 61 + 1.0 / 62, 2L), // rank 2 lexically, rank 1 vector
+      (1L, 1.0 / 61, 1L),
+      (3L, 1.0 / 62, 1L)))
+  }
+
+  test("rrfFuse ranks break score ties by id, layout-invariantly") {
+    val lex = list(5L -> 0.5, 4L -> 0.5, 3L -> 0.5)
+    val vec = list(9L -> 0.5)
+    val a = graft.rag.Hybrid.rrfFuse(lex, vec, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.rag.Hybrid.rrfFuse(lex.repartition(5), vec, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    // lex ranks break the 0.5 tie by id (3,4,5 -> ranks 1,2,3); the
+    // 1/61 rrf tie between ids 3 and 9 breaks by id in the fusion
+    assert(a.map(_._1) == Seq(3L, 9L, 4L, 5L))
+  }
 }
