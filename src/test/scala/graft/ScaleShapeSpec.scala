@@ -54,6 +54,20 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bm25_search: top-k is a heap merge and the term filter precedes the tf aggregate") {
+    val p = plan(SparkEntry.queries("bm25_search")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p) // no global sort
+    // the term IN (...) filter must sit below the first exchange so
+    // only matching-term rows shuffle
+    // the formatted detail sections number operators leaf-to-root, so
+    // the filter's detail preceding the exchange's proves it sits below
+    val filterAt = p.indexOf("IN (hash,join,vector)")
+    val exchangeAt = p.indexOf("hashpartitioning(doc_id")
+    assert(filterAt >= 0 && exchangeAt >= 0 && filterAt < exchangeAt, p)
+    // per-term contributions partial-aggregate map-side (hot docs combine)
+    assert(p.contains("partial_sum(CASE WHEN"), p)
+  }
+
   test("pair-join dedup operators plan equi-joins, never cartesians") {
     import spark.implicits._
     val docs = (0 until 20)
