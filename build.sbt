@@ -33,4 +33,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput GC for the batch workload; G1's pause targeting costs
   // ~10-20% at 32 allocation-heavy threads
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
+  // Take the PRODUCTION shuffle-writer path. The session pins
+  // spark.sql.shuffle.partitions to the core count, which lands under
+  // the bypass-merge threshold (200): BypassMergeSortShuffleWriter
+  // then opens+merges one temp file PER REDUCER PER MAP TASK (~66
+  // file ops/task on this VM's virtio disk ≈ 0.1-0.2 s/task, measured
+  // as the dominant cost of every small exchange). Real deployments
+  // run thousands of reduce partitions and never take the bypass
+  // path; forcing the sort writer (one spill file per task) makes
+  // local execution use the same code path production does.
+  "-Dspark.shuffle.sort.bypassMergeThreshold=2",
+  // Shuffle/spill scratch on tmpfs — the local analog of the NVMe
+  // scratch disks cluster nodes mount for shuffle; this VM's /tmp is
+  // a virtio disk with ~ms file-op latency that dwarfs the actual
+  // bytes written at bench scale.
+  "-Dspark.local.dir=/dev/shm/spark-local",
 )

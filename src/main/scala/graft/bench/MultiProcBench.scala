@@ -92,6 +92,10 @@ object MultiProcBench {
       // scheduler floats onto whatever physical capacity exists.
       val cmd = Seq(javaBin) ++ addOpens ++
         Seq("-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC",
+          // same shuffle-path settings as the driver JVM (build.sbt):
+          // production sort writer + tmpfs scratch
+          "-Dspark.shuffle.sort.bypassMergeThreshold=2",
+          "-Dspark.local.dir=/dev/shm/spark-local",
           "-cp", cp, "graft.bench.MultiProcBench", "worker",
           cpusPerWorker.toString, sl.result().mkString(","))
       // discard child stderr — an undrained pipe would block the

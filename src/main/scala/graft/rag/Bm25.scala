@@ -46,18 +46,30 @@ object Bm25 {
       query: Seq[String], topK: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
-    require(query.map(_.toLowerCase).distinct.size == query.size,
+    // ROOT-lowercase in the guard too: a default-locale lowercase here
+    // can disagree with the ROOT normalization applied to q below
+    // (tr_TR dotless-i), letting colliding terms past the check
+    require(query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      query.size,
       "query terms must be distinct (weights double-count otherwise)")
     val q = query.map(_.toLowerCase(java.util.Locale.ROOT))
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       termsCol(col(textCol)).as("ws"))
-    // corpus stats: one bounded aggregate -> 2 scalars + |q| dfs
+    // corpus stats in ONE bounded aggregate → 2 scalars + |q| dfs to
+    // the driver. df(t) = #docs whose term array contains t — counted
+    // as per-term conditional aggregates in the SAME pass as N and the
+    // token mass, so the corpus is tokenized once for the stats instead
+    // of twice (the old shape ran a second explode→groupBy→collect job
+    // just for the dfs).
     val statsRow = base.agg(
-      count(lit(1)).as("n"),
-      sum(size(col("ws"))).as("tok")).head()
+      count(lit(1)),
+      (sum(size(col("ws"))) +:
+        q.map(t => count(when(array_contains(col("ws"), t), 1)))): _*).head()
     val nDocs = statsRow.getLong(0)
     require(nDocs > 0, "empty corpus")
     val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    val dfs: Map[String, Long] =
+      q.zipWithIndex.map { case (t, i) => t -> statsRow.getLong(2 + i) }.toMap
     val terms = graft.util.Staged.explodeOnce(
       base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         col("ws")),
@@ -65,9 +77,6 @@ object Bm25 {
       .filter(col("term").isin(q: _*))
     val tf = terms.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfs: Map[String, Long] = tf.groupBy("term")
-      .agg(count(lit(1)).as("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // Lucene-variant idf, computed once per query term on the driver
     def idf(term: String): Double = {
       val df = dfs.getOrElse(term, 0L).toDouble

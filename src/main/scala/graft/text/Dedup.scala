@@ -289,21 +289,19 @@ object Dedup {
     // parallelism, not scan parallelism
     val sigs = sigsOf(docs, idCol, textCol)
     val bands = bandsOf(sigs)
-    // persist + EAGER count: persist alone already swaps in the
-    // InMemoryRelation (stops Catalyst inlining the sha256 pipeline
-    // into both join legs), but the eager fill is ALSO load-bearing on
-    // a real cluster — BlockManager's getOrElseUpdate lock is
-    // per-executor, so two concurrent join-leg stages cold-filling the
-    // same partition on DIFFERENT executors would each recompute it.
-    // (Dropping the count saves ~0.6 s on single-JVM local[n], where
-    // one BlockManager serializes the race — a measurement artifact,
-    // not a win at the target scale.)
-    if (materialize) { bands.persist(); bands.count() } // sketch built once
+    // NO sketch persist: the self-join's two legs plan identical
+    // exchanges on (band, key), which ReusedExchange dedups — the
+    // kernel runs once, inside the single exchange's map stage, and
+    // both legs read its shuffle files. A round-5 persist+eager-count
+    // of the band table was measured this round at 3-4× the no-persist
+    // task time at sf0.1: every InMemoryRelation read pays the
+    // columnar cache encode/decode, which costs more than re-reading
+    // the exchange output (and on a real cluster shuffle files are
+    // served by the shuffle machinery, with none of the cross-executor
+    // cold-fill races a lazily-filled cache has).
     val raw = bandCandidates(bands)
     if (!materialize) return raw // lazy plan, for shape audits
-    val pairs = raw.localCheckpoint() // materialize the (small) result …
-    bands.unpersist() // … so the sketch cache can be released
-    pairs
+    raw.localCheckpoint() // materialize the (small) result
   }
 
   /** (id, sig) → exploded (id, band, key) band table. An empty
@@ -383,11 +381,14 @@ object Dedup {
     */
   def ngramJaccardBanded(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, materialize: Boolean = true): DataFrame = {
+    // no sketch persist: the band legs share one reused exchange; the
+    // sa/sb attach legs each re-run the kernel map-side — measured
+    // cheaper than the columnar cache round-trip it replaced (the
+    // embarrassingly-parallel-recompute trade, see minhashPairs)
     val base = spread(docs).select(col(idCol).as("id"),
       TextExprs.minhashSig(col(textCol)).as("sig"),
       TextExprs.shingleHashes(col(textCol), distinct = true).as("sh"))
       .filter(size(col("sig")) > 0)
-    if (materialize) { base.persist(); base.count() } // sketch + sets once
     val cand = bandCandidates(bandsOf(base.select(col("id"), col("sig"))))
     val pairs = cand
       .join(base.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
@@ -399,9 +400,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
     if (!materialize) return pairs // lazy plan, for shape audits
-    val out = pairs.localCheckpoint()
-    base.unpersist()
-    out
+    pairs.localCheckpoint()
   }
 
   // ---- simhash ----
@@ -452,9 +451,10 @@ object Dedup {
     val rem = SimBits % nBlocks
     val widths = Seq.tabulate(nBlocks)(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    // no sketch persist — the block self-join's legs share one reused
+    // exchange on (blk, key), so the kernel runs once (see minhashPairs)
     val s = spread(docs)
       .select(col(idCol).as("id"), simhashCol(col(textCol)).as("sim"))
-    if (materialize) { s.persist(); s.count() } // sketch once, not per leg
     val blocks = s.select(col("id"), col("sim"),
       explode(array((0 until nBlocks).map(b =>
         struct(lit(b).as("blk"),
@@ -471,9 +471,7 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
       .distinct() // a pair can agree on several blocks
     if (!materialize) return pairs // lazy plan, for shape audits
-    val out = pairs.localCheckpoint()
-    s.unpersist()
-    out
+    pairs.localCheckpoint()
   }
 
   // ---- near-dup clustering: connected components over pairs ----
@@ -684,27 +682,32 @@ object Dedup {
     val all = graft.util.Staged.explodeOnce(spread(docs),
       Seq(col(idCol).as("id")),
       TextExprs.shingleHashes(col(textCol), distinct = true), "sh")
-    // df-cap via agg + anti-join: the df aggregate combines map-side
-    // (shuffles (sh, partial-count), never full rows) and the hot list
-    // is small (≤ |index|/maxDf), so AQE broadcasts it and hot rows are
-    // dropped AT THE MAP — the hottest shingle's occurrences never
-    // travel. (A count-window df-cap was tried and reverted: a window
-    // must shuffle EVERY occurrence of a hot shingle into one task
-    // before the filter discards them — re-concentrating exactly the
-    // key the cap exists to bound.) The capped index is then
-    // repartitioned by the join key ONCE, so both self-join legs below
-    // reuse this single exchange; net full-index shuffles: one, hot
-    // rows excluded. The shingle kernel runs twice (df agg + index
-    // build) — both map-side and embarrassingly parallel, the standard
-    // trade against persisting the UNCAPPED index.
-    val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val sh = all.join(hot, Seq("sh"), "left_anti")
-      .repartition(col("sh"))
-    // persist + eager count — same cross-executor cold-fill rationale
-    // as minhashPairs (three concurrent consumers: sizes agg + two
-    // self-join legs)
-    if (materialize) { sh.persist(); sh.count() } // capped index once
+    // df-cap in ONE aggregation pass: per shingle, a capped-ids
+    // aggregate collects the posting list but holds at most maxDf+1
+    // values per buffer — a shingle exceeding the cap evaluates to
+    // NULL and is dropped, with its state freed the moment the cap
+    // breaks, so the hottest boilerplate shingle costs O(maxDf) per
+    // mapper and its occurrences die at the map-side combine. This
+    // replaces the previous df-count + anti-join shape, which needed
+    // TWO evaluations of the shingle kernel (df agg + index rebuild)
+    // and a second full-index exchange; now the kernel runs once, the
+    // index shuffles once (as bounded per-shingle lists), and the
+    // groupBy's hash partitioning on `sh` is inherited by the exploded
+    // posting rows, so the self-join legs below need no further
+    // exchange. (A count-window df-cap was tried and reverted: a
+    // window must shuffle EVERY occurrence of a hot shingle into one
+    // task before the filter discards them — re-concentrating exactly
+    // the key the cap exists to bound.)
+    // no index persist: all three consumers (sizes agg + both
+    // self-join legs) hang off the ONE groupBy(sh) exchange, which
+    // ReusedExchange dedups — they re-read its shuffle files, never
+    // re-run the kernel. The round-5 persist of the capped index was
+    // measured this round at >3× the no-persist task time at sf0.1
+    // (columnar cache encode/decode on every read).
+    val sh = graft.util.Staged.explodeOnce(
+      all.groupBy("sh").agg(CappedIds.cappedIds(col("id"), maxDf).as("ids"))
+        .filter(col("ids").isNotNull),
+      Seq(col("sh")), col("ids"), "id")
     // set sizes AFTER the cap: dropped shingles leave the universe
     // entirely (index AND set sizes), the standard df-capped trade
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
@@ -720,9 +723,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
     if (!materialize) return pairs // lazy plan, for shape audits
-    val out = pairs.localCheckpoint()
-    sh.unpersist()
-    out
+    pairs.localCheckpoint()
   }
 
   // ---- span-level exact substring dedup ----
@@ -755,11 +756,9 @@ object Dedup {
     * shuffle-native one, at the cost of fixing a minimum match
     * length of k tokens.
     *
-    * @param materialize persist the text-free occurrence frame while
-    *   the winner election and mark join both consume it, then
-    *   checkpoint the (small) span frame and release the cache —
-    *   false returns the lazy plan (shape audits), recomputing the
-    *   tokenize+hash pipeline per consumer
+    * @param materialize checkpoint the (small) span frame so callers'
+    *   actions replay materialized spans instead of re-running the
+    *   election — false returns the fully lazy plan (shape audits)
     * @param reliable checkpoint spans to the session's checkpoint dir
     *   instead of localCheckpoint (the dedupParagraphs trade: survives
     *   executor loss under dynamic allocation)
@@ -774,11 +773,16 @@ object Dedup {
       docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true requires spark.sparkContext.setCheckpointDir — " +
         "point it at cluster-durable storage (HDFS/object store)")
+    // no occurrence-frame persist: the winner election and the mark
+    // join each evaluate the gram kernel map-side — measured cheaper
+    // at sf0.1 than filling and re-reading a columnar cache of the
+    // occurrence frame (and strictly better at 100 TB, where caching
+    // one (doc_id, pos, hash) row per corpus token is a corpus-sized
+    // cache; recompute is embarrassingly parallel)
     val grams = spread(docs).select(col(idCol).cast("long").as("doc_id"),
       TextExprs.shingleHashes(col(textCol), distinct = false, n = k).as("gs"))
     val occ = graft.util.Staged.posexplodeOnce(
       grams, Seq(col("doc_id")), col("gs"), "pos", "g")
-    if (materialize) { occ.persist(); occ.count() }
     val winners = occ.groupBy("g")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("cnt"))
@@ -789,11 +793,8 @@ object Dedup {
     val spans0 = mergeWindows(dups, k)
     if (!materialize) return spans0
     // spans are 3 narrow fields per duplicated REGION (not per gram) —
-    // materialize them so the occurrence cache can be released before
-    // returning the lazy plan
-    val out = if (reliable) spans0.checkpoint() else spans0.localCheckpoint()
-    occ.unpersist()
-    out
+    // materialize them so callers' actions never re-run the election
+    if (reliable) spans0.checkpoint() else spans0.localCheckpoint()
   }
 
   /** gaps-and-islands merge of marked FIXED-width k-token windows
@@ -827,37 +828,61 @@ object Dedup {
     * text: only its distinct gram-hash set travels. Returns batch
     * spans (doc_id, span_start, span_end).
     *
-    * Scale shape: |distinct corpus grams| >> |batch grams|, so the
-    * corpus leg is reduced to one 8-byte hash per distinct gram
-    * map-side (partial agg) before the equi-join; the batch-side
-    * occurrence frame is small by construction. At 100 TB the
-    * distinct-gram set is itself large — but it shuffles once,
-    * joins once, and never carries text or positions.
+    * Scale shape: the batch's distinct gram-hash set is small by
+    * construction (an ingest batch is bounded), so it is broadcast and
+    * the corpus leg becomes a PURE MAP pass — tokenize, hash, probe
+    * the broadcast set — with only the matching grams (≤ |batch
+    * grams|) ever reaching a shuffle. The earlier shape materialized
+    * the corpus' full distinct gram set and sort-merge-joined it
+    * (shuffling one 8-byte hash per distinct corpus gram — at 100 TB
+    * that is the corpus vocabulary, trillions of rows); the flipped
+    * semi-join moves only grams the batch actually mentions, the
+    * "decide with small rows" rule. Corpus text still never shuffles
+    * and is never re-scanned for spans.
     */
   def dupSpansIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 8): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    def occFrame(d: DataFrame) = graft.util.Staged.posexplodeOnce(
-      spread(d).select(col(idCol).cast("long").as("doc_id"),
+    // the batch occurrence frame has THREE consumers (winner election,
+    // mark join, broadcast probe-set build) — localCheckpoint it: one
+    // job, UnsafeRow blocks (no columnar cache encode/decode), batch-
+    // sized by contract; blocks are released before returning
+    val occ = graft.util.Staged.posexplodeOnce(
+      spread(batch).select(col(idCol).cast("long").as("doc_id"),
         TextExprs.shingleHashes(col(textCol), distinct = false, n = k)
           .as("gs")),
-      Seq(col("doc_id")), col("gs"), "pos", "g")
-    val corpusGrams = occFrame(corpus).select("g").distinct()
+      Seq(col("doc_id")), col("gs"), "pos", "g").localCheckpoint()
+    // corpus grams that the BATCH mentions: the corpus side streams
+    // map-side against the broadcast batch-gram set, so the corpus
+    // contributes at most |batch grams| rows — never its vocabulary
+    val batchGramSet = occ.select("g").distinct()
+    // distinct = false: the per-doc string dedup set costs more than
+    // the duplicate hashes it saves — the broadcast probe drops
+    // non-matching grams map-side and the tiny survivor set dedups in
+    // the .distinct() below
+    val corpusHits = graft.util.Staged.explodeOnce(
+      spread(corpus).select(
+        TextExprs.shingleHashes(col(textCol), distinct = false, n = k)
+          .as("gs")),
+      Seq.empty, col("gs"), "g")
+      .join(broadcast(batchGramSet), Seq("g"), "left_semi")
+      .distinct()
       .withColumn("in_corpus", lit(true))
-    val occ = occFrame(batch)
-    occ.persist(); occ.count() // two consumers: batch election + mark
     val batchWinners = occ.groupBy("g")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("cnt"))
     val dups = occ
       .join(batchWinners, Seq("g"))
-      .join(corpusGrams, Seq("g"), "left")
+      .join(corpusHits, Seq("g"), "left")
       .filter(coalesce(col("in_corpus"), lit(false)) ||
         (col("cnt") >= 2 &&
           struct(col("doc_id"), col("pos")) =!= col("w")))
       .select("doc_id", "pos")
     val out = mergeWindows(dups, k).localCheckpoint()
-    occ.unpersist()
+    // release the batch checkpoint blocks eagerly (the CC pattern) —
+    // a resident ingest engine calls this per batch
+    org.apache.spark.sql.GraftExprBridge.checkpointedRdd(occ)
+      .foreach(_.unpersist(false))
     out
   }
 
@@ -877,6 +902,26 @@ object Dedup {
       count(lit(1)).cast("long").as("n_spans"),
       sum(col("span_end") - col("span_start")).cast("long").as("dup_tokens"),
       collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+    // kept tokens via GAP SLICES over the sorted span list: spans are
+    // disjoint maximal intervals by construction (mergeWindows), so
+    // the kept stream is exactly the inter-span gaps — one native
+    // `slice` per span plus the tail, O(spans) interpreted HOF steps
+    // per document. (The earlier `filter(ts, i -> !exists(sps, ...))`
+    // re-scanned the span list per TOKEN — O(tokens × spans) in the
+    // interpreted evaluator, ~8 CPU-s of the sf0.1 bench pass.)
+    val sortedSpans = array_sort(col("sps"))
+    val emptyAcc = struct(lit(0L).as("pos"),
+      array().cast("array<string>").as("kept"))
+    val keptTokens = aggregate(sortedSpans, emptyAcc,
+      (acc, s) => struct(
+        s.getField("span_end").as("pos"),
+        concat(acc.getField("kept"),
+          slice(col("ts"), (acc.getField("pos") + 1).cast("int"),
+            (s.getField("span_start") - acc.getField("pos")).cast("int")))
+          .as("kept")),
+      acc => concat(acc.getField("kept"),
+        slice(col("ts"), (acc.getField("pos") + 1).cast("int"),
+          (size(col("ts")) - acc.getField("pos")).cast("int"))))
     docs.select(col(idCol).cast("long").as("doc_id"),
         wordsCol(col(textCol)).as("ts"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -884,9 +929,6 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         when(col("sps").isNull, concat_ws(" ", col("ts")))
-          .otherwise(concat_ws(" ", filter(col("ts"),
-            (t: Column, i: Column) => !exists(col("sps"),
-              s => i >= s.getField("span_start") &&
-                i < s.getField("span_end"))))).as("cleaned"))
+          .otherwise(concat_ws(" ", keptTokens)).as("cleaned"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.text.Dedup
+import graft.text.{Corpus, Dedup}
 
 /** Scale-shape audits: the physical plans the 100 TB story depends on
   * (broadcast dims, sort-merge facts, pushdown, NO cartesians in the
@@ -414,7 +414,14 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
         materialize = false)),
       "decontaminate" -> plan(SparkEntry.queries("decontaminate")(spark, sf)),
-      "decontaminate_bloom" -> plan(SparkEntry.queries("decontaminate_bloom")(spark, sf)),
+      // the registered query materializes (localCheckpoint) — audit the
+      // LAZY shape, which is the plan that actually executes inside it
+      "decontaminate_bloom" -> plan {
+        val d = spark.read.parquet(s"$sf/documents.parquet")
+        Corpus.decontaminateBloom(
+          d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4, materialize = false)
+      },
       "embed_docs" -> plan(SparkEntry.queries("embed_docs")(spark, sf)),
       "vocab_top" -> plan(SparkEntry.queries("vocab_top")(spark, sf)),
       "distinctive_terms" -> plan(SparkEntry.queries("distinctive_terms")(spark, sf)))
@@ -436,7 +443,13 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // plan, (b) the probe present as a Filter condition, (c) the
     // filter inside a WholeStageCodegen span (the formatted explain
     // marks codegen'd operators with a (codegen id)).
-    val df = SparkEntry.queries("decontaminate_bloom")(spark, sf)
+    // the registered query materializes (localCheckpoint), returning a
+    // Scan ExistingRDD — audit the LAZY plan, which is what executes
+    // inside the materialization
+    val d0 = spark.read.parquet(s"$sf/documents.parquet")
+    val df = Corpus.decontaminateBloom(
+      d0.filter(col("doc_id") % 20 =!= 0), d0.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 4, materialize = false)
     val p = plan(df)
     assert(!p.toLowerCase.contains("batchevalpython") &&
       !p.contains("UDF") && !p.contains("ScalaUDF"), p)
