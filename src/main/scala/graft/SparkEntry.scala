@@ -162,7 +162,12 @@ object SparkEntry {
     // benchmarks fixture construction (a 128-file shuffle write), not
     // the maintenance op; CompactionSpec covers scale/recovery shapes
     "compact_roundtrip" -> ((s, dir) => {
+      // fixture dirs are deleted at JVM exit, not here: the returned
+      // DataFrame stays lazy over the dir, so deletion must outlive
+      // the consumer's action (Bench runs each query several times —
+      // without the hook every invocation leaked a corpus copy)
       val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      Queries.deleteOnExit(tmp)
       docs(s, dir).filter(col("doc_id") < 250)
         .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("partition_id"))
         .repartition(6)
@@ -1797,6 +1802,28 @@ object Queries {
 
   /** the fixed RAG question used by confidence/rag_query oracles */
   val RagQuery = "spark join performance"
+
+  /** fixture temp dirs awaiting JVM-exit deletion (compact_roundtrip:
+    * the returned frame reads the dir lazily, so cleanup must happen
+    * after every consumer action — a shutdown hook is the only safe
+    * point); one hook, registered on first use
+    */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(d))
+      }
+    }))
+
+  private[graft] def deleteOnExit(dir: String): Unit = {
+    cleanupHook
+    tmpDirs.add(dir)
+  }
 
   /** artifacts of the latest ann_ivf_kmeans training — (centroids,
     * probe cells), recorded by the query lambda so oracleSql (dumped

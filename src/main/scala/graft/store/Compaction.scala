@@ -137,6 +137,13 @@ object Compaction {
       math.max(1, math.min(maxConcurrent, todo.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // every future is lifted to Try and ALL of them are awaited before
+    // any failure propagates: compactPartitions must never return (or
+    // throw) while a sibling swap is still mutating live/trash/staging
+    // dirs — recover()'s directory-state machine assumes no concurrent
+    // mutators, so an immediate retry after a propagated failure could
+    // otherwise rm a staging dir mid-write or delete trash during a
+    // live swap
     val compacted =
       try {
         val fs = todo.map { p =>
@@ -145,13 +152,17 @@ object Compaction {
             val staged = new java.io.File(new java.io.File(table, StagingName), p.name)
             if (staged.exists()) rm(staged)
             // distributed rewrite: one scan of the partition's own
-            // bytes, coalesce (no shuffle) to the target file count
+            // bytes, coalesce (no shuffle) to the target file count.
+            // The live-side count reuses the SAME relation as the
+            // rewrite (one file listing + schema resolve per
+            // partition, not two), and runs before the write so the
+            // guard reflects exactly the files the rewrite read.
             val data = spark.read.parquet(live.getAbsolutePath)
+            val rowsBefore = data.count()
             data.coalesce(p.targetFiles(targetBytes))
               .write.mode(SaveMode.Overwrite).parquet(staged.getAbsolutePath)
             // multiset guard before anything destructive: parquet
             // footer counts (metadata-only scans) must agree
-            val rowsBefore = spark.read.parquet(live.getAbsolutePath).count()
             val rowsAfter = spark.read.parquet(staged.getAbsolutePath).count()
             require(rowsBefore == rowsAfter,
               s"compaction would change ${p.name}: $rowsBefore -> $rowsAfter rows")
@@ -166,9 +177,13 @@ object Compaction {
             (p.name, rowsAfter, p.files, dataFiles(live).length, p.bytes, true)
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(fs),
+        val results = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            fs.map(_.transform(t => scala.util.Success(t)))),
           scala.concurrent.duration.Duration.Inf)
+        results.collectFirst { case scala.util.Failure(e) => e }
+          .foreach(e => throw e)
+        results.map(_.get)
       } finally pool.shutdown()
     manifest(spark, manifestDir, compacted.map(r =>
       (r._1, "compact_done", r._2, r._3, r._4, r._5)))

@@ -196,13 +196,13 @@ object Dedup {
     val hashed = ex
       .select(col("doc_id"), col("idx"), sha2(col("para"), 256).as("h"),
         (length(col("para")) < minChars).as("short"))
-    // persist the TEXT-FREE digest frame + eager count (the
-    // minhashPairs rationale: Catalyst would otherwise inline the
-    // split+explode+sha pipeline into BOTH legs of the winner join —
-    // and the eager fill matters cross-executor). Text itself is
-    // never cached: it flows once into the fill and once into the
-    // final reassembly join.
-    if (materialize) { hashed.persist(); hashed.count() }
+    // no digest-frame persist: the winner election and the decisions
+    // join each re-run the split+explode+sha pipeline map-side —
+    // measured cheaper than a columnar cache fill + two decoded reads
+    // (the minhashPairs no-persist rationale), and at 100 TB a
+    // per-paragraph digest cache is corpus-sized while the recompute
+    // is embarrassingly parallel. Text itself still moves exactly
+    // once, in the final reassembly join.
     // shorts are exempt, so they stay out of the winner election
     val winners = hashed.filter(!col("short"))
       .groupBy("h")
@@ -215,9 +215,9 @@ object Dedup {
         (col("short") ||
           struct(col("doc_id"), col("idx")) === col("winner")).as("keep"))
     // decisions are 3 narrow fields per paragraph — materialize them
-    // so the digest cache can be RELEASED before returning the lazy
-    // reassembly plan (the decontaminateStream persist-lifecycle
-    // lesson). Two materialization grades:
+    // so the reassembly plan (and every caller action on it) replays
+    // materialized decisions instead of re-running the winner
+    // election. Two materialization grades:
     //   - localCheckpoint (default): blocks live on executors; lineage
     //     is TRUNCATED, so an executor loss (or dynamic-allocation
     //     scale-down) between here and the caller's action fails the
@@ -229,9 +229,7 @@ object Dedup {
     //     running with dynamic allocation or spot executors.
     val decisions =
       if (materialize) {
-        val d = if (reliable) decisions0.checkpoint() else decisions0.localCheckpoint()
-        hashed.unpersist()
-        d
+        if (reliable) decisions0.checkpoint() else decisions0.localCheckpoint()
       } else decisions0
     ex.join(decisions, Seq("doc_id", "idx"))
       .groupBy("doc_id")

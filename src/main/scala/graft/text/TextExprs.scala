@@ -55,77 +55,192 @@ object TextKernels {
     v >>> 4
   }
 
-  /** one pass over the words: count, summed lengths, and per-list
-    * lowercase membership hits — the kernel behind [[WordStats]].
-    * Returns an InternalRow(n_words: Int, sum_word_len: Long,
-    * hits: ArrayData[Int]).
+  /** One pass over the CHARACTERS: word count, summed word lengths,
+    * per-list lowercase membership hits, plus the token and
+    * punctuation counts the quality operators need — the kernel
+    * behind [[WordStats]]. Returns an InternalRow(n_words: Int,
+    * sum_word_len: Long, hits: ArrayData[Int], n_tokens: Int,
+    * n_punct: Int).
+    *
+    * Exact regex equivalences (spec-asserted):
+    *  - words = maximal `[A-Za-z0-9]+` runs (ASCII alnum only, so the
+    *    per-word ROOT lowercase reduces to ASCII lowering);
+    *  - n_tokens = `Tokenizer.TokenRegex` count: each word run is one
+    *    token, plus one token per non-alnum code point outside Java
+    *    regex `\s` (= the six ASCII whitespace chars — a Unicode
+    *    space is NOT `\s` and counts, exactly as the regex does; a
+    *    surrogate pair is ONE code point, one match);
+    *  - n_punct = `[^A-Za-z0-9\s]` count = the same non-word tokens.
+    * Folding these into the word scan removes the two extra compiled-
+    * regex passes qualityScore ran per document.
     */
   def wordStats(text: UTF8String,
       sets: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.InternalRow = {
-    val w = words(if (text == null) "" else text.toString)
+    val s = if (text == null) "" else text.toString
+    val n = s.length
+    var nWords = 0
     var sumLen = 0L
+    var nTokens = 0
+    var nPunct = 0
     val hits = new Array[Int](sets.length)
+    val buf = if (sets.length > 0) new java.lang.StringBuilder(32) else null
     var i = 0
-    while (i < w.length) {
-      sumLen += w(i).length
-      val lw = w(i).toLowerCase(java.util.Locale.ROOT)
-      var j = 0
-      while (j < sets.length) {
-        if (sets(j).contains(lw)) hits(j) += 1
-        j += 1
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            (d >= '0' && d <= '9')
+        }) j += 1
+        nWords += 1
+        nTokens += 1
+        sumLen += (j - i)
+        if (buf != null) {
+          buf.setLength(0)
+          var k = i
+          while (k < j) {
+            val d = s.charAt(k)
+            buf.append(if (d >= 'A' && d <= 'Z') (d + 32).toChar else d)
+            k += 1
+          }
+          val lw = buf.toString
+          var m = 0
+          while (m < sets.length) {
+            if (sets(m).contains(lw)) hits(m) += 1
+            m += 1
+          }
+        }
+        i = j
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') {
+        i += 1
+      } else {
+        nTokens += 1
+        nPunct += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
       }
-      i += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(
-      w.length, sumLen, ArrayData.toArrayData(hits))
+      nWords, sumLen, ArrayData.toArrayData(hits), nTokens, nPunct)
   }
 
-  /** 60-bit hashes of the word n-shingles (optionally of the distinct
-    * shingle STRINGS — distinct is taken before hashing, mirroring the
-    * oracle's `list_distinct` on strings). Empty below n words.
+  private val DigestOut = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](32)
+  }
+
+  /** Maximal ASCII-alnum byte runs of a UTF-8 buffer — the byte-level
+    * twin of the `[A-Za-z0-9]+` regex on the decoded string: the word
+    * class is pure ASCII and every UTF-8 continuation/lead byte of a
+    * non-ASCII char is >= 0x80, so byte-run boundaries coincide
+    * exactly with the regex's char-run boundaries, and each word's
+    * bytes ARE its UTF-8 encoding. Returns the run count; bounds land
+    * in `starts`/`ends` (caller-sized).
+    */
+  private def wordRuns(b: Array[Byte], starts: Array[Int],
+      ends: Array[Int]): Int = {
+    def alnum(x: Byte): Boolean =
+      (x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z') ||
+        (x >= '0' && x <= '9')
+    var count = 0
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      if (alnum(b(i))) {
+        val s = i
+        i += 1
+        while (i < n && alnum(b(i))) i += 1
+        starts(count) = s
+        ends(count) = i
+        count += 1
+      } else i += 1
+    }
+    count
+  }
+
+  /** sha256-derived 64-bit value of the window's "w1 w2 … wn" UTF-8
+    * bytes, streamed word-by-word into the digest (no shingle string
+    * or buffer is ever built); >>> 4 of this value is [[hash60]] of
+    * the same shingle string.
+    */
+  private def windowHash64(b: Array[Byte], starts: Array[Int],
+      ends: Array[Int], from: Int, n: Int): Long = {
+    val md = Sha.get()
+    md.reset()
+    var j = 0
+    while (j < n) {
+      if (j > 0) md.update(' '.toByte)
+      md.update(b, starts(from + j), ends(from + j) - starts(from + j))
+      j += 1
+    }
+    val out = DigestOut.get()
+    md.digest(out, 0, 32)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** 60-bit hashes of the word n-shingles. Byte-level one-pass: word
+    * runs are found directly in the UTF-8 buffer and each window is
+    * streamed into the digest — no word Strings, no shingle
+    * StringBuilder, no per-call digest allocation (the String path
+    * cost ~2× the sha itself). With `distinct`, duplicates collapse on
+    * the full 64-bit sha prefix rather than on the shingle string the
+    * way the oracle's `list_distinct` does — two DIFFERENT shingles of
+    * one document sharing a 64-bit sha prefix (2^-64 per pair; the
+    * same order as the already-accepted 60-bit join collisions) would
+    * shorten the array by one vs the string-distinct form. Empty below
+    * n words.
     */
   def shingleHashes(text: UTF8String, distinct: Boolean, n: Int = 3): ArrayData = {
-    val w = words(if (text == null) "" else text.toString)
-    if (w.length < n) return ArrayData.toArrayData(Array.emptyLongArray)
-    val count = w.length - n + 1
-    val sb = new java.lang.StringBuilder(64)
-    val seen = if (distinct) new java.util.LinkedHashSet[String]() else null
-    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+    val b = if (text == null) Array.emptyByteArray else text.getBytes
+    // worst case one word per 2 bytes ("a b a b")
+    val maxWords = b.length / 2 + 1
+    val starts = new Array[Int](maxWords)
+    val ends = new Array[Int](maxWords)
+    val nw = wordRuns(b, starts, ends)
+    if (nw < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    val count = nw - n + 1
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+    val out = new Array[Long](count)
+    var outN = 0
     var i = 0
     while (i < count) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(w(i + j))
-        j += 1
+      val h = windowHash64(b, starts, ends, i, n)
+      if (seen == null || seen.add(h)) {
+        out(outN) = h >>> 4
+        outN += 1
       }
-      val s = sb.toString
-      if (seen == null) out += hash60(s)
-      else if (seen.add(s)) out += hash60(s)
       i += 1
     }
-    ArrayData.toArrayData(out.toArray)
+    ArrayData.toArrayData(
+      if (outN == count) out else java.util.Arrays.copyOf(out, outN))
   }
 
   /** full MinHash signature in one pass: sig[i] = min over shingles of
     * mix60(hash60(s) ⊕ seed_i) — identical values to
     * Dedup.signatureCol / the relational explode+min-agg path (the
     * JVM mix here is the wrapping-multiply twin of Dedup.mix60,
-    * spec-asserted equal). Empty array below 3 words (no shingles).
+    * spec-asserted equal; shingle hashing is the byte-level stream of
+    * [[shingleHashes]]). Empty array below 3 words (no shingles).
     */
   def minhashSig(text: UTF8String): ArrayData = {
-    val w = words(if (text == null) "" else text.toString)
-    if (w.length < 3) return ArrayData.toArrayData(Array.emptyLongArray)
+    val b = if (text == null) Array.emptyByteArray else text.getBytes
+    val maxWords = b.length / 2 + 1
+    val starts = new Array[Int](maxWords)
+    val ends = new Array[Int](maxWords)
+    val nw = wordRuns(b, starts, ends)
+    if (nw < 3) return ArrayData.toArrayData(Array.emptyLongArray)
     val k = Dedup.NumHashes
     val seeds = Dedup.Seeds.toArray
     val sig = Array.fill(k)(Long.MaxValue)
-    val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i < w.length - 2) {
-      sb.setLength(0)
-      sb.append(w(i)).append(' ').append(w(i + 1)).append(' ').append(w(i + 2))
-      val h = hash60(sb.toString)
+    while (i < nw - 2) {
+      val h = windowHash64(b, starts, ends, i, 3) >>> 4
       var j = 0
       while (j < k) {
         val v = mix60Jvm(h ^ seeds(j))
@@ -222,7 +337,9 @@ case class WordStats(
     StructField("n_words", IntegerType, nullable = false),
     StructField("sum_word_len", LongType, nullable = false),
     StructField("hits", ArrayType(IntegerType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val sets: Array[java.util.HashSet[String]] =

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.chunk.Tokenizer
 import graft.rag.HashEmbedder
 
 /** Text-analysis operators for a training-data pipeline: language ID
@@ -61,14 +60,15 @@ object TextOps {
       keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    // regexp_count, not size(regexp_extract_all): same number, but no
-    // per-row match-array materialization just to take its length
-    val nTokens = regexp_count(t, lit(Tokenizer.TokenRegex))
-    val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]"))
-    // word count, summed lengths and stopword hits in ONE native pass
-    // (the HOF forms were interpreted and cost ~6× the whole remaining
-    // projection once a downstream op actually consumed the score)
+    // word/token/punct counts, summed lengths and stopword hits in ONE
+    // native character pass (the HOF forms were interpreted and cost
+    // ~6× the whole remaining projection; the token and punct counts
+    // were previously two additional compiled-regex passes per
+    // document — the kernel computes the identical regex counts,
+    // spec-asserted, in the same scan)
     val st = TextExprs.wordStats(t, Seq(Stopwords.head._2))
+    val nTokens = st.getField("n_tokens")
+    val nPunct = st.getField("n_punct")
     val nWords = st.getField("n_words")
     val stopHits = element_at(st.getField("hits"), 1)
     val punctRatio = nPunct / greatest(nChars, lit(1)).cast("double")

@@ -246,8 +246,12 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("native wordStats kernel equals the HOF forms (count, lengths, per-list hits)") {
     import graft.text.{TextExprs, TextOps}
+    // the tail cases pin the n_tokens/n_punct regex equivalences: a
+    // Unicode NBSP is NOT Java-regex \s (counts as punct), tabs/VT/FF
+    // are \s, a surrogate pair is ONE code point = one token
     val texts = Seq("", "The quick brown fox", "der und the la les y es",
-      "ABC def GHI 42 the THE tHe", "punct, only; !!")
+      "ABC def GHI 42 the THE tHe", "punct, only; !!",
+      "a\u00A0b", "x\t\fy!", "emoji 😀 mix, 7s")
     val lists = TextOps.Stopwords.map(_._2)
     val st = TextExprs.wordStats(col("text"), lists)
     import spark.implicits._
@@ -258,11 +262,17 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       aggregate(regexp_extract_all(col("text"), lit(Dedup.WordRegex), lit(0)),
         lit(0L), (acc, w) => acc + length(w)),
       st.getField("hits"),
-      array(lists.map(l => TextOps.hits(col("text"), l)): _*)).collect()
+      array(lists.map(l => TextOps.hits(col("text"), l)): _*),
+      st.getField("n_tokens"),
+      regexp_count(col("text"), lit(graft.chunk.Tokenizer.TokenRegex)),
+      st.getField("n_punct"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))).collect()
     texts.zip(rows).foreach { case (t, r) =>
       assert(r.getInt(0) == r.getInt(1), s"n_words: '$t'")
       assert(r.getLong(2) == r.getLong(3), s"sum_word_len: '$t'")
       assert(r.getSeq[Int](4) == r.getSeq[Int](5), s"hits: '$t'")
+      assert(r.getInt(6) == r.getInt(7), s"n_tokens: '$t'")
+      assert(r.getInt(8) == r.getInt(9), s"n_punct: '$t'")
     }
   }
 
