@@ -42,7 +42,53 @@ object BenchExtra {
     def reset(): Unit = { jobs = 0; stages = 0; taskTimeMs = 0L; shuffleRead = 0L; shuffleWrite = 0L }
   }
 
+  /** single-threaded extraction-kernel microbench with per-phase
+    * timing: `runMain graft.bench.BenchExtra kernel [numConvs]`
+    */
+  private def kernelBench(numConvs: Int): Unit = {
+    val turns = (0L until numConvs.toLong).flatMap(i =>
+      graft.gen.TranscriptGen.genConv(42L, i)._1).map(_.text).toArray
+    println(s"turns: ${turns.length}, chars: ${turns.map(_.length.toLong).sum}")
+    // warm
+    var sink = 0L
+    (0 until 2).foreach { _ =>
+      turns.foreach(t => sink += graft.extract.ExtractPipeline.extract(t).length)
+    }
+    (0 until 3).foreach { rep =>
+      var tParse, tHead, tOrder, tEmit, tLint = 0L
+      var t0 = 0L
+      turns.foreach { t =>
+        t0 = System.nanoTime()
+        val blocks = graft.extract.BlockParser.parse(t)
+        tParse += System.nanoTime() - t0
+        if (blocks.nonEmpty) {
+          t0 = System.nanoTime()
+          val hm = graft.extract.Headers.identify(blocks)
+          tHead += System.nanoTime() - t0
+          t0 = System.nanoTime()
+          val ordered = graft.extract.ReadingOrder.order(blocks)
+          tOrder += System.nanoTime() - t0
+          t0 = System.nanoTime()
+          val elements = graft.extract.MarkdownEmitter.emit(ordered, hm)
+          tEmit += System.nanoTime() - t0
+          t0 = System.nanoTime()
+          sink += graft.extract.LintNormalize.normalizeJoin(elements).length
+          tLint += System.nanoTime() - t0
+        }
+      }
+      val tot = (tParse + tHead + tOrder + tEmit + tLint) / 1e9
+      println(f"rep $rep: total ${tot}%6.3f s (${turns.length / tot}%.0f turns/s/core) " +
+        f"parse ${tParse / 1e9}%5.3f head ${tHead / 1e9}%5.3f order ${tOrder / 1e9}%5.3f " +
+        f"emit ${tEmit / 1e9}%5.3f lint ${tLint / 1e9}%5.3f")
+    }
+    println(s"sink $sink")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("kernel")) {
+      kernelBench(args.lift(1).map(_.toInt).getOrElse(2000))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt

@@ -16,23 +16,67 @@ package graft.extract
   */
 object Headers {
 
-  /** fontSize → heading level (1..6); sizes not in the map are body. */
+  /** fontSize → heading level (1..6); sizes not in the map are body.
+    *
+    * Hot-path note: runs once per turn; a turn has a handful of
+    * distinct sizes, so the histogram lives in two small parallel
+    * arrays instead of a boxed-Double-keyed Map (which dominated this
+    * phase's time with boxing and tuple churn). Size identity is
+    * doubleToLongBits equality — exactly the boxed `Double.equals` the
+    * Map used (NaN self-equal, -0.0 distinct from 0.0).
+    */
   def identify(blocks: Seq[Block]): Map[Double, Int] = {
     // char-count histogram over PDF spans, table rows excluded
     // (find_tables regions are removed from the text flow before
     // header identification in pymupdf4llm)
-    val hist = collection.mutable.Map.empty[Double, Long]
+    var sizes = new Array[Double](8)
+    var counts = new Array[Long](8)
+    var n = 0
     blocks.foreach { b =>
-      if (b.kind == BlockKind.Pdf && !b.isTableRow && b.text.nonEmpty)
-        hist(b.fontSize) = hist.getOrElse(b.fontSize, 0L) + b.text.length
+      if (b.kind == BlockKind.Pdf && !b.isTableRow && b.text.nonEmpty) {
+        val fs = b.fontSize
+        val bits = java.lang.Double.doubleToLongBits(fs)
+        var i = 0
+        var found = false
+        while (i < n && !found) {
+          if (java.lang.Double.doubleToLongBits(sizes(i)) == bits) {
+            counts(i) += b.text.length
+            found = true
+          }
+          i += 1
+        }
+        if (!found) {
+          if (n == sizes.length) {
+            sizes = java.util.Arrays.copyOf(sizes, n * 2)
+            counts = java.util.Arrays.copyOf(counts, n * 2)
+          }
+          sizes(n) = fs
+          counts(n) = b.text.length.toLong
+          n += 1
+        }
+      }
     }
-    if (hist.isEmpty) return Map.empty
+    if (n == 0) return Map.empty
     // body = most frequent size; tie-break: smaller size (body text is
     // the smaller of two equally-frequent sizes in practice)
-    val body = hist.toSeq.minBy { case (sz, n) => (-n, sz) }._1
-    hist.keys.filter(_ > body).toSeq.sorted(Ordering[Double].reverse)
-      .zipWithIndex
-      .map { case (sz, i) => sz -> math.min(i + 1, 6) }
+    var body = sizes(0)
+    var bodyCount = counts(0)
+    var i = 1
+    while (i < n) {
+      if (counts(i) > bodyCount ||
+        (counts(i) == bodyCount &&
+          java.lang.Double.compare(sizes(i), body) < 0)) {
+        body = sizes(i)
+        bodyCount = counts(i)
+      }
+      i += 1
+    }
+    val above = java.util.Arrays.copyOf(sizes, n).filter(_ > body)
+    if (above.isEmpty) return Map.empty
+    java.util.Arrays.sort(above)
+    // descending rank → level, capped at 6
+    above.reverseIterator.zipWithIndex
+      .map { case (sz, idx) => sz -> math.min(idx + 1, 6) }
       .toMap
   }
 

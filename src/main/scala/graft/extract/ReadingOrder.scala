@@ -12,29 +12,89 @@ package graft.extract
   */
 object ReadingOrder {
 
-  /** Sort all blocks of one turn into reading order. */
+  /** Sort all blocks of one turn into reading order.
+    *
+    * Hot-path note: this runs once per turn inside the extraction
+    * kernel (the bench's headline job). The implementation is
+    * array-based — one pass to split PDF vs rest, one comparator sort
+    * per group, page runs processed in place — because the previous
+    * groupBy + tuple-keyed `sortBy` chain allocated a HashMap, key
+    * tuples and boxed Double comparisons per turn and was the
+    * kernel's single largest phase (~1/3). Ordering semantics are
+    * IDENTICAL (golden gate + OrderSpec): PDF pages first ascending,
+    * within a page by (column, y0, x0, seq) with IEEE Double.compare
+    * (NaN-total like Ordering[Double]), then HTML/plain by seq.
+    */
   def order(blocks: Seq[Block]): Vector[Block] = {
-    val (pdf, rest) = blocks.partition(_.kind == BlockKind.Pdf)
-    // non-PDF blocks (HTML / plain) keep payload order and follow the
-    // document flow — they never interleave with PDF pages in one turn
-    // in practice, but a stable global rule is required: PDF pages
-    // first (by page), then HTML/plain by seq.
-    val orderedPdf = pdf.groupBy(_.page).toSeq.sortBy(_._1).flatMap {
-      case (_, pageBlocks) => orderPage(pageBlocks)
+    var nPdf = 0
+    blocks.foreach(b => if (b.kind == BlockKind.Pdf) nPdf += 1)
+    val pdf = new Array[Block](nPdf)
+    val rest = new Array[Block](blocks.size - nPdf)
+    var pi = 0
+    var ri = 0
+    blocks.foreach { b =>
+      if (b.kind == BlockKind.Pdf) { pdf(pi) = b; pi += 1 }
+      else { rest(ri) = b; ri += 1 }
     }
-    (orderedPdf ++ rest.sortBy(_.seq)).toVector
+    val out = Vector.newBuilder[Block]
+    if (nPdf > 0) {
+      // pre-sort by (page, seq): page runs become contiguous; the
+      // within-page tie-break is irrelevant to the final order (the
+      // per-page sort key is total) but keeps this sort deterministic
+      java.util.Arrays.sort(pdf, (a: Block, b: Block) => {
+        val c = Integer.compare(a.page, b.page)
+        if (c != 0) c else Integer.compare(a.seq, b.seq)
+      })
+      var i = 0
+      while (i < nPdf) {
+        var j = i + 1
+        while (j < nPdf && pdf(j).page == pdf(i).page) j += 1
+        orderPageInPlace(pdf, i, j)
+        var k = i
+        while (k < j) { out += pdf(k); k += 1 }
+        i = j
+      }
+    }
+    java.util.Arrays.sort(rest,
+      (a: Block, b: Block) => Integer.compare(a.seq, b.seq))
+    rest.foreach(out += _)
+    out.result()
   }
 
   /** Column clustering: merge overlapping [x0,x1] intervals into bins;
-    * a block belongs to the bin containing its x0.
+    * a block belongs to the bin containing its x0. (Spec entry point —
+    * delegates to the in-place hot path.)
     */
   private[extract] def orderPage(blocks: Seq[Block]): Seq[Block] = {
-    val intervals = mergeIntervals(blocks.map(b => (b.x0, b.x1)))
+    val a = blocks.toArray
+    orderPageInPlace(a, 0, a.length)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
+
+  /** sort a(from until until) into (column, y0, x0, seq) order */
+  private def orderPageInPlace(a: Array[Block], from: Int, until: Int): Unit = {
+    if (until - from <= 1) return
+    val intervals = mergeIntervals(
+      (from until until).map(k => (a(k).x0, a(k).x1)))
+    val nIv = intervals.length
     def colOf(b: Block): Int = {
-      val i = intervals.indexWhere(iv => b.x0 >= iv._1 && b.x0 <= iv._2)
-      if (i < 0) intervals.length else i
+      var i = 0
+      while (i < nIv) {
+        if (b.x0 >= intervals(i)._1 && b.x0 <= intervals(i)._2) return i
+        i += 1
+      }
+      nIv
     }
-    blocks.sortBy(b => (colOf(b), b.y0, b.x0, b.seq))
+    // colOf inside the comparator: pages are a handful of blocks over
+    // 1-3 merged intervals, so recomputing the linear probe per
+    // comparison beats any per-block key materialization
+    java.util.Arrays.sort(a, from, until, (p: Block, q: Block) => {
+      var c = Integer.compare(colOf(p), colOf(q))
+      if (c == 0) c = java.lang.Double.compare(p.y0, q.y0)
+      if (c == 0) c = java.lang.Double.compare(p.x0, q.x0)
+      if (c == 0) c = Integer.compare(p.seq, q.seq)
+      c
+    })
   }
 
   private def mergeIntervals(ivs: Seq[(Double, Double)]): Vector[(Double, Double)] = {

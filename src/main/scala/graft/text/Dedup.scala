@@ -552,8 +552,8 @@ object Dedup {
     try {
       val fwd = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
-      val (edges0, edges0Key) = trackedCheckpoint(
-        fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+      val edgesLazy =
+        fwd.union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct()
       // size the per-round shuffles to the GRAPH, not the session: a
       // near-dup edge set is usually orders of magnitude smaller than
       // the corpus, and each join+agg+checkpoint round at corpus
@@ -561,7 +561,7 @@ object Dedup {
       // ~1s at sf0.1); a 100 TB-corpus edge set raises `parts` back to
       // full parallelism (Long math — an Int division would wrap
       // negative around 10^14 edges and collapse to one partition)
-      val nEdges = edges0.count()
+      val nEdges = edgesLazy.count()
       if (nEdges == 0) // no pairs → no components; keep the contract total
         return caller.createDataFrame(sc.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -574,12 +574,18 @@ object Dedup {
       // on what's collected: 100k undirected edges ≈ 3 MB of longs,
       // always driver-safe; anything larger takes the distributed
       // pointer-jumping path below. nEdges counts the DOUBLED rows.
+      // The fast path never checkpoints: `pairs` is usually already
+      // materialized by its producer, so re-running the tiny
+      // union+distinct for the collect is cheaper than writing
+      // checkpoint blocks for it; only the iterative path (which
+      // reads the edges every round) materializes the edge list.
       if (nEdges <= 2L * driverMaxEdges) {
-        val collected = edges0.collect()
+        val collected = edgesLazy.collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         val labels = unionFind(collected).toSeq
         return caller.createDataFrame(labels).toDF("id", "component")
       }
+      val (edges0, edges0Key) = trackedCheckpoint(edgesLazy)
       val parts = math.max(1L, math.min(
         sc.defaultParallelism.toLong, nEdges / 50000L + 1L)).toInt
       session.conf.set("spark.sql.shuffle.partitions", parts)
