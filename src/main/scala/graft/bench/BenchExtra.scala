@@ -242,6 +242,71 @@ object BenchExtra {
           .groupBy("g").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1000000)
       }),
+      // lazy shapes of the MATERIALIZING operators, dumped so the
+      // plan files show the shape that executes inside the
+      // localCheckpoint (the registered queries return Scan
+      // ExistingRDD). Same inputs as the registered queries.
+      "ngram_jaccard_lazy" -> ((s, dir) =>
+        graft.text.Dedup.ngramJaccard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          threshold = 0.5, materialize = false)),
+      "dedup_minhash_lazy" -> ((s, dir) =>
+        graft.text.Dedup.minhashPairs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          materialize = false)),
+      "simhash_pairs_lazy" -> ((s, dir) =>
+        graft.text.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          maxHamming = 3, materialize = false)),
+      "ngram_jaccard_banded_lazy" -> ((s, dir) =>
+        graft.text.Dedup.ngramJaccardBanded(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          threshold = 0.5, materialize = false)),
+      "dup_spans_lazy" -> ((s, dir) =>
+        // raw docs in place of the registered query's span fixture —
+        // identical plan shape (the fixture is a projection)
+        graft.text.Dedup.dupSpans(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", materialize = false)),
+      // the claim-relevant part of dupSpansIncremental (occ election +
+      // flipped corpus semi-join), lazily, minus the final per-doc
+      // window merge — the operator itself materializes eagerly
+      "dup_spans_incremental_lazy" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val batch = d.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), col("text"))
+        val occ = graft.util.Staged.posexplodeOnce(
+          batch.repartition(32).select(col("doc_id").cast("long").as("doc_id"),
+            graft.text.TextExprs.shingleHashes(col("text"),
+              distinct = false, n = 8).as("gs")),
+          Seq(col("doc_id")), col("gs"), "pos", "g")
+        val batchGramSet = occ.select("g").distinct()
+        val corpusHits = graft.util.Staged.explodeOnce(
+          d.repartition(32).select(
+            graft.text.TextExprs.shingleHashes(col("text"),
+              distinct = false, n = 8).as("gs")),
+          Seq.empty, col("gs"), "g")
+          .join(broadcast(batchGramSet), Seq("g"), "left_semi")
+          .distinct()
+          .withColumn("in_corpus", lit(true))
+        val batchWinners = occ.groupBy("g")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+            count(lit(1)).as("cnt"))
+        occ.join(batchWinners, Seq("g"))
+          .join(corpusHits, Seq("g"), "left")
+          .filter(coalesce(col("in_corpus"), lit(false)) ||
+            (col("cnt") >= 2 &&
+              struct(col("doc_id"), col("pos")) =!= col("w")))
+          .select("doc_id", "pos")
+      }),
+      "decontaminate_bloom_lazy" -> ((s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        graft.text.Corpus.decontaminateBloom(
+          d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4, materialize = false)
+      }),
       "dupspans_persist" -> ((s, dir) =>
         graft.text.Dedup.dupSpans(
           s.read.parquet(s"$dir/documents.parquet")
@@ -277,6 +342,13 @@ object BenchExtra {
       spark.sparkContext.setJobDescription(s"bench-extra: $name")
       explainDir.foreach { dir =>
         val df = fn(spark, sfDir)
+        // SPARK_GRAFT_EXPLAIN_EXECUTED=1: execute first and dump the
+        // FINAL adaptive plan — an unexecuted AQE plan shows
+        // duplicated exchange subtrees that runtime reuse dedups
+        val executed = sys.env.get("SPARK_GRAFT_EXPLAIN_EXECUTED").contains("1")
+        // collect(), not count(): count() builds a NEW plan and leaves
+        // this QueryExecution unexecuted
+        if (executed) df.collect()
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val p = java.nio.file.Paths.get(dir, s"$name$explainSuffix.txt")
