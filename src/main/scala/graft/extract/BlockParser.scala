@@ -54,6 +54,46 @@ object BlockParser {
   @inline private def tab(line: String, from: Int): Int =
     line.indexOf('\t', from)
 
+  private val Pow10: Array[Double] =
+    Array.tabulate(16)(i => math.pow(10, i)) // 10^0..10^15, all exact
+
+  /** Double.parseDouble of line[from,to) with an allocation-free fast
+    * path for the dominant coordinate shape `-?d+(.d+)?` at ≤ 15
+    * digits: both the mantissa integer and 10^frac are exactly
+    * representable, so ONE correctly-rounded division yields the same
+    * bits parseDouble's general algorithm produces (the classic
+    * Clinger fast path). Anything else — signs, exponents, hex
+    * floats, NaN/Infinity, whitespace, > 15 digits — falls back to
+    * parseDouble on a substring, preserving exact JDK semantics
+    * including its NumberFormatException.
+    */
+  private def parseDoubleField(line: String, from: Int, to: Int): Double = {
+    var i = from
+    var neg = false
+    if (i < to && line.charAt(i) == '-') { neg = true; i += 1 }
+    var m = 0L
+    var digits = 0
+    var frac = 0
+    var seenDot = false
+    var simple = i < to
+    while (simple && i < to) {
+      val c = line.charAt(i)
+      if (c >= '0' && c <= '9') {
+        m = m * 10 + (c - '0')
+        digits += 1
+        if (seenDot) frac += 1
+        i += 1
+      } else if (c == '.' && !seenDot && i + 1 < to) {
+        seenDot = true
+        i += 1
+      } else simple = false
+    }
+    if (!simple || digits == 0 || digits > 15 || (seenDot && frac == 0))
+      return java.lang.Double.parseDouble(line.substring(from, to))
+    val v = if (frac == 0) m.toDouble else m.toDouble / Pow10(frac)
+    if (neg) -v else v
+  }
+
   /** `P<page>\t<x0>,<y0>,<x1>,<y1>\t<fontSize>\t<flags>\t<content>`
     * (manual field scan — the parser is the kernel's hottest stage;
     * split() allocated two arrays + extra substrings per line)
@@ -68,11 +108,11 @@ object BlockParser {
       val c1 = line.indexOf(',', t1 + 1); if (c1 < 0 || c1 > t2) return None
       val c2 = line.indexOf(',', c1 + 1); if (c2 < 0 || c2 > t2) return None
       val c3 = line.indexOf(',', c2 + 1); if (c3 < 0 || c3 > t2) return None
-      val x0 = java.lang.Double.parseDouble(line.substring(t1 + 1, c1))
-      val y0 = java.lang.Double.parseDouble(line.substring(c1 + 1, c2))
-      val x1 = java.lang.Double.parseDouble(line.substring(c2 + 1, c3))
-      val y1 = java.lang.Double.parseDouble(line.substring(c3 + 1, t2))
-      val fontSize = java.lang.Double.parseDouble(line.substring(t2 + 1, t3))
+      val x0 = parseDoubleField(line, t1 + 1, c1)
+      val y0 = parseDoubleField(line, c1 + 1, c2)
+      val x1 = parseDoubleField(line, c2 + 1, c3)
+      val y1 = parseDoubleField(line, c3 + 1, t2)
+      val fontSize = parseDoubleField(line, t2 + 1, t3)
       val flags = Integer.parseInt(line, t3 + 1, t4, 10)
       Some(Block(BlockKind.Pdf, page, x0, y0, x1, y1, fontSize, flags,
         "", 0, line.substring(t4 + 1), seq))

@@ -68,6 +68,31 @@ class ExtractGoldenSpec extends AnyFunSuite {
     assert(md == "pdf body text here\n\n-----\n\nthis line is malformed plain text\n")
   }
 
+  test("coordinate parsing equals Double.parseDouble across shapes (fast path + fallbacks)") {
+    // the parser's fast decimal path must be bit-identical to
+    // parseDouble; exotic shapes must fall back to it (or degrade the
+    // line to Plain exactly as the strict parse always did)
+    val coords = Seq("72.0", "614.3", "0", "-0.0", "3", "-17.25", ".5",
+      "-.5", "1.", "007", "123456789012345.5", "12345678901234567.5",
+      "1e3", "1E-2", "Infinity", "-Infinity", "NaN", "0x1.8p1", " 1.5")
+    coords.foreach { c =>
+      val line = s"P0\t$c,$c,$c,$c\t$c\t0\tpayload"
+      val parsed = BlockParser.parse(line)
+      assert(parsed.size == 1)
+      val b = parsed.head
+      val expectOk = try { java.lang.Double.parseDouble(c); true }
+        catch { case _: NumberFormatException => false }
+      if (expectOk) {
+        assert(b.kind == BlockKind.Pdf, s"'$c' should parse as PDF")
+        val e = java.lang.Double.parseDouble(c)
+        assert(java.lang.Double.doubleToLongBits(b.x0) ==
+          java.lang.Double.doubleToLongBits(e), s"x0 for '$c'")
+        assert(java.lang.Double.doubleToLongBits(b.fontSize) ==
+          java.lang.Double.doubleToLongBits(e), s"fontSize for '$c'")
+      } else assert(b.kind == BlockKind.Plain, s"'$c' should degrade to Plain")
+    }
+  }
+
   test("header histogram ranks sizes above body descending") {
     val blocks = Vector(
       Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 10.0, 0, "", 0, "x" * 100, 0),
