@@ -708,10 +708,19 @@ object Dedup {
     // re-run the kernel. The round-5 persist of the capped index was
     // measured this round at >3× the no-persist task time at sf0.1
     // (columnar cache encode/decode on every read).
+    // the explode + self-join below EXPANDS (Σdf² candidate pairs from
+    // a compact posting table): AQE sizes the post-aggregate read by
+    // its input bytes and coalesces the expansion stage down to a few
+    // tasks. Re-keying by `sh` at the session's configured shuffle
+    // parallelism (explicit count ⇒ AQE keeps it) holds the expansion
+    // wide; the exchange it adds carries only the capped posting
+    // lists — bounded and small by construction at any scale.
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sh = graft.util.Staged.explodeOnce(
       all.groupBy("sh").agg(CappedIds.cappedIds(col("id"), maxDf).as("ids"))
         .filter(col("ids").isNotNull),
       Seq(col("sh")), col("ids"), "id")
+      .repartition(parts, col("sh"))
     // set sizes AFTER the cap: dropped shingles leave the universe
     // entirely (index AND set sizes), the standard df-capped trade
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
