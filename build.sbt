@@ -46,6 +46,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Shuffle/spill scratch on tmpfs — the local analog of the NVMe
   // scratch disks cluster nodes mount for shuffle; this VM's /tmp is
   // a virtio disk with ~ms file-op latency that dwarfs the actual
-  // bytes written at bench scale.
-  "-Dspark.local.dir=/dev/shm/spark-local",
+  // bytes written at bench scale. Overridable (SPARK_SCRATCH_DIR) and
+  // falls back to java.io.tmpdir on hosts without a usable /dev/shm
+  // (e.g. Docker's default 64 MB shm) — tmpfs spills are RAM-backed,
+  // so a small-memory host should point this at a real disk.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_SCRATCH_DIR",
+    if (new java.io.File("/dev/shm").isDirectory &&
+        new java.io.File("/dev/shm").getUsableSpace > 8L * 1024 * 1024 * 1024)
+      "/dev/shm/spark-local"
+    else sys.props("java.io.tmpdir"))}",
 )

@@ -92,10 +92,12 @@ object MultiProcBench {
       // scheduler floats onto whatever physical capacity exists.
       val cmd = Seq(javaBin) ++ addOpens ++
         Seq("-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC",
-          // same shuffle-path settings as the driver JVM (build.sbt):
-          // production sort writer + tmpfs scratch
+          // same shuffle-path settings as the driver JVM: production
+          // sort writer + whatever scratch dir build.sbt resolved for
+          // this host (tmpfs here; java.io.tmpdir fallback elsewhere)
           "-Dspark.shuffle.sort.bypassMergeThreshold=2",
-          "-Dspark.local.dir=/dev/shm/spark-local",
+          s"-Dspark.local.dir=${System.getProperty("spark.local.dir",
+            System.getProperty("java.io.tmpdir"))}",
           "-cp", cp, "graft.bench.MultiProcBench", "worker",
           cpusPerWorker.toString, sl.result().mkString(","))
       // discard child stderr — an undrained pipe would block the

@@ -128,7 +128,25 @@ object Corpus {
     // the lazy plan for shape audits, re-deriving the benchmark per
     // consumer like the pre-r6 shape did.
     val benchGrams = benchmarkGrams(bench, textCol, n)
-    if (materialize) benchGrams.persist()
+    if (!materialize)
+      return decontaminateBloomBody(train, benchGrams, idCol, textCol, n,
+        fpp, expectedGrams)
+    benchGrams.persist()
+    // unpersist in finally: a failing eager action (count, bloom head,
+    // result checkpoint) must not leave the cache pinned for the
+    // session lifetime in a resident engine
+    try {
+      val out = decontaminateBloomBody(train, benchGrams, idCol, textCol,
+        n, fpp, expectedGrams).localCheckpoint()
+      out
+    } finally benchGrams.unpersist()
+  }
+
+  private def decontaminateBloomBody(train: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double,
+      expectedGrams: Long): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val expected0 =
       if (expectedGrams > 0) expectedGrams else math.max(benchGrams.count(), 1L)
     // BloomFilterAggregate hard-errors above the session's runtime-
@@ -153,7 +171,7 @@ object Corpus {
       toExpression(col("g"))))
     val staged = train.select(col(idCol).as("doc_id"),
       TextExprs.shingleHashes(col(textCol), distinct = true, n).as("gs"))
-    val result = graft.util.Staged.explodeOnce(staged,
+    graft.util.Staged.explodeOnce(staged,
       Seq(col("doc_id"), size(col("gs")).as("n_grams")), col("gs"), "g")
       .filter(prescreen)
       .join(benchGrams, Seq("g"), "left_semi")
@@ -161,10 +179,6 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"), min("n_grams").as("n_grams"))
       .select(col("doc_id"), col("n_hits"), col("n_grams"),
         (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
-    if (!materialize) return result
-    val out = result.localCheckpoint()
-    benchGrams.unpersist()
-    out
   }
 
   /** Repetition quality signals per document (Gopher §A1.1 shape):

@@ -715,12 +715,35 @@ object Dedup {
     // parallelism (explicit count ⇒ AQE keeps it) holds the expansion
     // wide; the exchange it adds carries only the capped posting
     // lists — bounded and small by construction at any scale.
+    //
+    // CappedIdsAgg collects BIGINT: integral ids are cast in and back
+    // (the exploded posting id keeps the caller's id type, so output
+    // schema is unchanged); a non-integral id column (e.g. string
+    // keys) takes the pre-r6 df-count + anti-join shape below, which
+    // is type-generic.
+    val idType = all.schema("id").dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sh = graft.util.Staged.explodeOnce(
-      all.groupBy("sh").agg(CappedIds.cappedIds(col("id"), maxDf).as("ids"))
-        .filter(col("ids").isNotNull),
-      Seq(col("sh")), col("ids"), "id")
-      .repartition(parts, col("sh"))
+    val sh =
+      if (integral)
+        graft.util.Staged.explodeOnce(
+          all.groupBy("sh")
+            .agg(CappedIds.cappedIds(col("id").cast("long"), maxDf).as("ids"))
+            .filter(col("ids").isNotNull),
+          Seq(col("sh")), col("ids"), "id")
+          .select(col("sh"), col("id").cast(idType).as("id"))
+          .repartition(parts, col("sh"))
+      else {
+        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("sh")
+        all.join(hot, Seq("sh"), "left_anti").repartition(parts, col("sh"))
+      }
     // set sizes AFTER the cap: dropped shingles leave the universe
     // entirely (index AND set sizes), the standard df-capped trade
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
@@ -891,12 +914,13 @@ object Dedup {
         (col("cnt") >= 2 &&
           struct(col("doc_id"), col("pos")) =!= col("w")))
       .select("doc_id", "pos")
-    val out = mergeWindows(dups, k).localCheckpoint()
-    // release the batch checkpoint blocks eagerly (the CC pattern) —
-    // a resident ingest engine calls this per batch
-    org.apache.spark.sql.GraftExprBridge.checkpointedRdd(occ)
+    // release the batch checkpoint blocks eagerly — in finally, so a
+    // failing merge job cannot strand them: a resident ingest engine
+    // calls this per batch, and a retried bad batch would otherwise
+    // accumulate leaked executor storage
+    try mergeWindows(dups, k).localCheckpoint()
+    finally org.apache.spark.sql.GraftExprBridge.checkpointedRdd(occ)
       .foreach(_.unpersist(false))
-    out
   }
 
   /** Per-document substring-dedup summary + cleaned text: token count,

@@ -624,6 +624,35 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.count() == 0)
   }
 
+  test("ngramJaccard keeps its output id type and accepts non-integral ids") {
+    import spark.implicits._
+    // int ids: the capped-ids aggregate collects BIGINT internally but
+    // the output pair columns must keep the caller's id type (the
+    // cast-back), and values must match the long-id run
+    val intDocs = (0 until 4)
+      .map(i => (i, s"aa bb cc x$i y$i shared tail words here"))
+      .toDF("doc_id", "text")
+    val intPairs = Dedup.ngramJaccard(intDocs, "doc_id", "text", 0.3)
+    assert(intPairs.schema("a_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val longPairs = Dedup.ngramJaccard(
+      intDocs.withColumn("doc_id", col("doc_id").cast("long")),
+      "doc_id", "text", 0.3)
+    assert(intPairs.collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong,
+        r.getDouble(2))).toSet ==
+      longPairs.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet)
+    // string ids take the generic df-count + anti-join path
+    val strDocs = (0 until 4)
+      .map(i => (s"d$i", s"aa bb cc x$i y$i shared tail words here"))
+      .toDF("doc_id", "text")
+    val strPairs = Dedup.ngramJaccard(strDocs, "doc_id", "text", 0.3)
+    assert(strPairs.schema("a_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(strPairs.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      intPairs.collect().map(r => (s"d${r.getInt(0)}", s"d${r.getInt(1)}")).toSet)
+  }
+
   test("repetition_stats: line stats stay below the Generate (once per doc, not per gram)") {
     val p = plan(SparkEntry.queries("repetition_stats")(spark, sf))
     // the explode must consume the STAGED gram-array column, not
