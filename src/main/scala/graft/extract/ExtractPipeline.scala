@@ -2,11 +2,58 @@ package graft.extract
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Conversion result carried per row (C12 error capture). Top-level so
   * Catalyst codegen can construct/read it without reflection fallback.
   */
 final case class ExtractOut(status: String, markdown: String, error: String)
+
+/** payload → struct(status, markdown, error) as a NATIVE expression —
+  * identical values to the former `udf(extractSafe)` wrapper, minus
+  * the per-row ScalaUDF machinery (closure dispatch, catalyst↔Scala
+  * converters, case-class encoder): the kernel result goes straight
+  * into an InternalRow, with the constant status/error strings shared.
+  * NULL-TOTAL like the udf form: a null payload yields the ("err", "",
+  * "empty input") row, never a null struct (so it cannot use
+  * nullSafeEval/defineCodeGen, which would short-circuit null inputs).
+  */
+case class ExtractExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", StringType),
+    StructField("markdown", StringType),
+    StructField("error", StringType)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ExtractPipeline.extractRow(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.extract.ExtractPipeline.extractRow(
+            ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
 
 /** The conversion core wired into Spark (SURVEY.md §2.2, §3.1).
   *
@@ -47,13 +94,33 @@ object ExtractPipeline {
       case e: Exception => ("err", "", String.valueOf(e.getMessage))
     }
 
-  /** Shared conversion UDF: payload → (status, markdown, error).
-    * Codegen-friendly (top-level case class result).
+  // shared UTF8String constants: the status/error values are a tiny
+  // closed set — one allocation per JVM, not one per turn
+  private val OkU = UTF8String.fromString("ok")
+  private val ErrU = UTF8String.fromString("err")
+  private val EmptyU = UTF8String.fromString("")
+  private val EmptyInputU = UTF8String.fromString("empty input")
+
+  /** [[ExtractExpr]]'s kernel entry: payload → InternalRow(status,
+    * markdown, error), null-total (see extractSafe).
     */
-  private val extractUdf = udf { payload: String =>
-    val (s, md, e) = extractSafe(payload)
-    ExtractOut(s, md, e)
+  def extractRow(payload: UTF8String): InternalRow = {
+    if (payload == null || payload.numBytes() == 0)
+      return InternalRow(ErrU, EmptyU, EmptyInputU)
+    try InternalRow(OkU, UTF8String.fromString(extract(payload.toString)), EmptyU)
+    catch {
+      case e: Exception =>
+        InternalRow(ErrU, EmptyU,
+          UTF8String.fromString(String.valueOf(e.getMessage)))
+    }
   }
+
+  /** Shared conversion column: payload → struct(status, markdown,
+    * error) via the native [[ExtractExpr]] (former ScalaUDF shape).
+    */
+  private def extractCol(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftExprBridge.toColumn(
+      ExtractExpr(org.apache.spark.sql.GraftExprBridge.toExpression(c)))
 
   /** transcripts(conv_id, turn_idx, role, text, tool, ts) →
     * (conv_id, turn_idx [, partition_id], status, markdown, error).
@@ -64,7 +131,7 @@ object ExtractPipeline {
     val keep = Seq("conv_id", "turn_idx") ++
       (if (transcripts.columns.contains("partition_id")) Seq("partition_id") else Nil)
     transcripts
-      .withColumn("_x", extractUdf(col("text")))
+      .withColumn("_x", extractCol(col("text")))
       .select(keep.map(col) ++ Seq(
         col("_x.status").as("status"),
         col("_x.markdown").as("markdown"),
@@ -74,7 +141,7 @@ object ExtractPipeline {
   /** documents(doc_id, text, …) → (doc_id, status, markdown, error). */
   def overDocuments(documents: DataFrame): DataFrame = {
     documents
-      .withColumn("_x", extractUdf(col("text")))
+      .withColumn("_x", extractCol(col("text")))
       .select(col("doc_id"),
         col("_x.status").as("status"),
         col("_x.markdown").as("markdown"),
