@@ -69,11 +69,11 @@ object BenchExtra {
           val ordered = graft.extract.ReadingOrder.order(blocks)
           tOrder += System.nanoTime() - t0
           t0 = System.nanoTime()
-          val elements = graft.extract.MarkdownEmitter.emit(ordered, hm)
+          // fused emit+lint+join — the pipeline's real path (tLint
+          // stays 0; the two-step form lives on only in emit()'s
+          // element consumers)
+          sink += graft.extract.MarkdownEmitter.emitNormalized(ordered, hm).length
           tEmit += System.nanoTime() - t0
-          t0 = System.nanoTime()
-          sink += graft.extract.LintNormalize.normalizeJoin(elements).length
-          tLint += System.nanoTime() - t0
         }
       }
       val tot = (tParse + tHead + tOrder + tEmit + tLint) / 1e9

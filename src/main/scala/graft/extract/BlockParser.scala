@@ -15,6 +15,13 @@ package graft.extract
   * Parsing is total: malformed structured lines degrade to Plain
   * blocks (mirrors the reference's per-document error tolerance,
   * converter.py:234-242, at line granularity).
+  *
+  * Lines are parsed IN PLACE over the payload (field scans carry
+  * [from,to) bounds): the only substrings taken are the ones that
+  * outlive the parse — the block's content (and an HTML block's tag
+  * path). The former per-line `substring(start, end)` copied every
+  * structured line once more than needed; content dominates line
+  * length, so that was nearly half the parser's character traffic.
   */
 object BlockParser {
 
@@ -28,31 +35,46 @@ object BlockParser {
       var end = payload.indexOf('\n', start)
       if (end < 0) end = n
       if (end > start) {
-        parseLine(payload.substring(start, end), seq).foreach { b =>
-          out += b; seq += 1
-        }
+        out += parseLine(payload, start, end, seq)
+        seq += 1
       }
       start = end + 1
     }
     out.result()
   }
 
-  private def parseLine(line: String, seq: Int): Option[Block] = {
-    if (line.length >= 2 && line.charAt(0) == 'P' && line.indexOf('\t') > 0) {
-      parsePdf(line, seq).orElse(Some(plain(line, seq)))
-    } else if (line.startsWith("H\t")) {
-      parseHtml(line, seq).orElse(Some(plain(line, seq)))
+  private def parseLine(s: String, from: Int, to: Int, seq: Int): Block = {
+    if (to - from >= 2 && s.charAt(from) == 'P' && hasTab(s, from + 1, to)) {
+      val b = parsePdf(s, from, to, seq)
+      if (b != null) b else plain(s.substring(from, to), seq)
+    } else if (to - from >= 2 && s.charAt(from) == 'H' &&
+      s.charAt(from + 1) == '\t') {
+      val b = parseHtml(s, from, to, seq)
+      if (b != null) b else plain(s.substring(from, to), seq)
     } else {
-      Some(plain(line, seq))
+      plain(s.substring(from, to), seq)
     }
   }
 
   private def plain(text: String, seq: Int): Block =
     Block(BlockKind.Plain, 0, 0, 0, 0, 0, 0.0, 0, "", 0, text, seq)
 
-  /** next field boundary; returns -1 when the separator is missing */
-  @inline private def tab(line: String, from: Int): Int =
-    line.indexOf('\t', from)
+  @inline private def hasTab(s: String, from: Int, to: Int): Boolean = {
+    val i = s.indexOf('\t', from)
+    i >= 0 && i < to
+  }
+
+  /** next field boundary within [from,to); -1 when missing */
+  @inline private def tab(s: String, from: Int, to: Int): Int = {
+    val i = s.indexOf('\t', from)
+    if (i >= 0 && i < to) i else -1
+  }
+
+  /** next ',' within [from,to); -1 when missing */
+  @inline private def comma(s: String, from: Int, to: Int): Int = {
+    val i = s.indexOf(',', from)
+    if (i >= 0 && i < to) i else -1
+  }
 
   private val Pow10: Array[Double] =
     Array.tabulate(16)(i => math.pow(10, i)) // 10^0..10^15, all exact
@@ -95,39 +117,39 @@ object BlockParser {
   }
 
   /** `P<page>\t<x0>,<y0>,<x1>,<y1>\t<fontSize>\t<flags>\t<content>`
-    * (manual field scan — the parser is the kernel's hottest stage;
-    * split() allocated two arrays + extra substrings per line)
+    * parsed in [from,to); null on any malformed field (caller degrades
+    * the line to Plain — same totality as the substring-based parse).
     */
-  private def parsePdf(line: String, seq: Int): Option[Block] = {
-    val t1 = tab(line, 0); if (t1 < 0) return None
-    val t2 = tab(line, t1 + 1); if (t2 < 0) return None
-    val t3 = tab(line, t2 + 1); if (t3 < 0) return None
-    val t4 = tab(line, t3 + 1); if (t4 < 0) return None
+  private def parsePdf(s: String, from: Int, to: Int, seq: Int): Block = {
+    val t1 = tab(s, from, to); if (t1 < 0) return null
+    val t2 = tab(s, t1 + 1, to); if (t2 < 0) return null
+    val t3 = tab(s, t2 + 1, to); if (t3 < 0) return null
+    val t4 = tab(s, t3 + 1, to); if (t4 < 0) return null
     try {
-      val page = Integer.parseInt(line, 1, t1, 10)
-      val c1 = line.indexOf(',', t1 + 1); if (c1 < 0 || c1 > t2) return None
-      val c2 = line.indexOf(',', c1 + 1); if (c2 < 0 || c2 > t2) return None
-      val c3 = line.indexOf(',', c2 + 1); if (c3 < 0 || c3 > t2) return None
-      val x0 = parseDoubleField(line, t1 + 1, c1)
-      val y0 = parseDoubleField(line, c1 + 1, c2)
-      val x1 = parseDoubleField(line, c2 + 1, c3)
-      val y1 = parseDoubleField(line, c3 + 1, t2)
-      val fontSize = parseDoubleField(line, t2 + 1, t3)
-      val flags = Integer.parseInt(line, t3 + 1, t4, 10)
-      Some(Block(BlockKind.Pdf, page, x0, y0, x1, y1, fontSize, flags,
-        "", 0, line.substring(t4 + 1), seq))
-    } catch { case _: NumberFormatException => None }
+      val page = Integer.parseInt(s, from + 1, t1, 10)
+      val c1 = comma(s, t1 + 1, t2); if (c1 < 0) return null
+      val c2 = comma(s, c1 + 1, t2); if (c2 < 0) return null
+      val c3 = comma(s, c2 + 1, t2); if (c3 < 0) return null
+      val x0 = parseDoubleField(s, t1 + 1, c1)
+      val y0 = parseDoubleField(s, c1 + 1, c2)
+      val x1 = parseDoubleField(s, c2 + 1, c3)
+      val y1 = parseDoubleField(s, c3 + 1, t2)
+      val fontSize = parseDoubleField(s, t2 + 1, t3)
+      val flags = Integer.parseInt(s, t3 + 1, t4, 10)
+      Block(BlockKind.Pdf, page, x0, y0, x1, y1, fontSize, flags,
+        "", 0, s.substring(t4 + 1, to), seq)
+    } catch { case _: NumberFormatException => null }
   }
 
-  /** `H\t<tagPath>\t<linkChars>\t<content>` */
-  private def parseHtml(line: String, seq: Int): Option[Block] = {
-    val t1 = 1 // line starts with "H\t"
-    val t2 = tab(line, t1 + 1); if (t2 < 0) return None
-    val t3 = tab(line, t2 + 1); if (t3 < 0) return None
+  /** `H\t<tagPath>\t<linkChars>\t<content>` parsed in [from,to). */
+  private def parseHtml(s: String, from: Int, to: Int, seq: Int): Block = {
+    val t1 = from + 1 // line starts with "H\t"
+    val t2 = tab(s, t1 + 1, to); if (t2 < 0) return null
+    val t3 = tab(s, t2 + 1, to); if (t3 < 0) return null
     try {
-      val linkChars = Integer.parseInt(line, t2 + 1, t3, 10)
-      Some(Block(BlockKind.Html, 0, 0, 0, 0, 0, 0.0, 0,
-        line.substring(t1 + 1, t2), linkChars, line.substring(t3 + 1), seq))
-    } catch { case _: NumberFormatException => None }
+      val linkChars = Integer.parseInt(s, t2 + 1, t3, 10)
+      Block(BlockKind.Html, 0, 0, 0, 0, 0, 0.0, 0,
+        s.substring(t1 + 1, t2), linkChars, s.substring(t3 + 1, to), seq)
+    } catch { case _: NumberFormatException => null }
   }
 }

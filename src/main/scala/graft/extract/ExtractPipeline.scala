@@ -78,8 +78,9 @@ object ExtractPipeline {
     if (blocks.isEmpty) return ""
     val headerMap = Headers.identify(blocks)
     val ordered = ReadingOrder.order(blocks)
-    val elements = MarkdownEmitter.emit(ordered, headerMap)
-    LintNormalize.normalizeJoin(elements)
+    // fused emit → lint → join: one output buffer, no element strings
+    // (byte-identical to normalizeJoin(emit(...)), property-pinned)
+    MarkdownEmitter.emitNormalized(ordered, headerMap)
   }
 
   /** C12 wrapper: (status, markdown-or-empty, error-or-empty). The

@@ -34,7 +34,7 @@ package graft.extract
   */
 object LintNormalize {
 
-  private final class State(val out: java.lang.StringBuilder) {
+  private[extract] final class State(val out: java.lang.StringBuilder) {
     var blanks = 0
     var wroteAny = false
     var inFence = false

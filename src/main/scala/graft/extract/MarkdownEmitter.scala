@@ -20,8 +20,65 @@ package graft.extract
   *
   * All rules are pure `Seq[Block] → Seq[String]`; Spark's job is only
   * distribution (ExtractPipeline).
+  *
+  * One traversal serves two consumers through [[LineSink]]: the
+  * element-vector form ([[emit]], tests and chunkers) and the fused
+  * form ([[emitNormalized]]) that streams every markdown LINE straight
+  * into LintNormalize's state machine — the per-element strings, the
+  * `\n\n` join and the re-split the normalizer then did were one extra
+  * copy of the whole document on the kernel's hottest path. Equality
+  * of the two forms is property-pinned (ChunkerPropertySpec) and the
+  * golden per-turn gate runs over the fused path.
   */
 object MarkdownEmitter {
+
+  /** Consumer of the emitted markdown: elements arrive as one
+    * startElement() followed by one line(...) per markdown line (block
+    * text never contains '\n' — BlockParser splits on it).
+    */
+  private[extract] trait LineSink {
+    def startElement(): Unit
+    def line(s: String): Unit
+  }
+
+  /** builds the classic element vector: lines joined by '\n'. */
+  private final class ElementSink extends LineSink {
+    private val out = Vector.newBuilder[String]
+    private val cur = new java.lang.StringBuilder(64)
+    private var open = false
+    // an element's first line may itself be empty — count lines, don't
+    // infer from buffer length
+    private var linesInCur = 0
+    def startElement(): Unit = {
+      if (open) out += cur.toString
+      cur.setLength(0)
+      linesInCur = 0
+      open = true
+    }
+    def line(s: String): Unit = {
+      if (linesInCur > 0) cur.append('\n')
+      linesInCur += 1
+      cur.append(s)
+    }
+    def result(): Vector[String] = {
+      if (open) out += cur.toString
+      open = false
+      out.result()
+    }
+  }
+
+  /** streams lines into LintNormalize's state machine, byte-identical
+    * to `LintNormalize.normalizeJoin(emit(...))`: the element break is
+    * the same empty line mkString("\n\n")'s join contributed.
+    */
+  private final class LintSink(st: LintNormalize.State) extends LineSink {
+    private var first = true
+    def startElement(): Unit = {
+      if (!first) st.line("", 0, 0)
+      first = false
+    }
+    def line(s: String): Unit = st.line(s, 0, s.length)
+  }
 
   // list-item recognition is on the per-block hot path (called several
   // times per block) — char checks, no regex/Matcher allocation
@@ -51,8 +108,24 @@ object MarkdownEmitter {
     * blocks already in reading order, with headers identified.
     */
   def emit(blocks: Seq[Block], headerMap: Map[Double, Int]): Vector[String] = {
+    val sink = new ElementSink
+    emitTo(blocks, headerMap, sink)
+    sink.result()
+  }
+
+  /** Fused emit + C11 lint-normalize + join: byte-identical to
+    * `LintNormalize.normalizeJoin(emit(blocks, headerMap))` with one
+    * output buffer and no per-element strings.
+    */
+  def emitNormalized(blocks: Seq[Block], headerMap: Map[Double, Int]): String = {
+    val st = new LintNormalize.State(new java.lang.StringBuilder(256))
+    emitTo(blocks, headerMap, new LintSink(st))
+    st.finish()
+  }
+
+  private def emitTo(blocks: Seq[Block], headerMap: Map[Double, Int],
+      out: LineSink): Unit = {
     val kept = blocks.filterNot(Boilerplate.isBoilerplate)
-    val out = Vector.newBuilder[String]
     var i = 0
     var lastPdfPage = -1
     var pdfClosed = false
@@ -62,75 +135,79 @@ object MarkdownEmitter {
       // when the flow leaves PDF blocks entirely (mixed-kind turns:
       // the separator belongs to the page it closes, not to trailing
       // HTML/plain content)
-      if (b.kind == BlockKind.Pdf && lastPdfPage >= 0 && b.page != lastPdfPage)
-        out += "-----"
+      if (b.kind == BlockKind.Pdf && lastPdfPage >= 0 && b.page != lastPdfPage) {
+        out.startElement(); out.line("-----")
+      }
       if (b.kind != BlockKind.Pdf && lastPdfPage >= 0 && !pdfClosed) {
-        out += "-----"
+        out.startElement(); out.line("-----")
         pdfClosed = true
       }
       if (b.kind == BlockKind.Pdf) lastPdfPage = b.page
 
       b match {
         case t if t.kind == BlockKind.Pdf && t.isTableRow =>
-          val rows = Vector.newBuilder[Block]
           var j = i
+          out.startElement()
+          pipeHeader(kept(j).text, out)
+          j += 1
           while (j < kept.length && kept(j).kind == BlockKind.Pdf &&
             kept(j).isTableRow && kept(j).page == t.page) {
-            rows += kept(j); j += 1
+            pipeRow(kept(j).text, out); j += 1
           }
-          out += pipeTable(rows.result())
           i = j
 
         case m if m.kind == BlockKind.Pdf && m.isMono =>
-          val lines = Vector.newBuilder[String]
+          out.startElement()
+          out.line("```")
           var j = i
           while (j < kept.length && kept(j).kind == BlockKind.Pdf &&
             kept(j).isMono && !kept(j).isTableRow && kept(j).page == m.page) {
-            lines += kept(j).text; j += 1
+            out.line(kept(j).text); j += 1
           }
-          out += ("```\n" + lines.result().mkString("\n") + "\n```")
+          out.line("```")
           i = j
 
         case h if Headers.level(headerMap, h) > 0 =>
-          out += ("#" * Headers.level(headerMap, h) + " " + h.text.trim)
+          out.startElement()
+          out.line("#" * Headers.level(headerMap, h) + " " + h.text.trim)
           i += 1
 
         case _ if isListItem(b) =>
-          val items = Vector.newBuilder[String]
+          out.startElement()
           var j = i
           while (j < kept.length && sameFlow(kept(j), b) && isListItem(kept(j)) &&
             Headers.level(headerMap, kept(j)) == 0) {
-            items += listLine(kept(j).text); j += 1
+            out.line(listLine(kept(j).text)); j += 1
           }
-          out += items.result().mkString("\n")
           i = j
 
         case pre if pre.kind == BlockKind.Html &&
           (pre.lastTag == "pre" || pre.lastTag == "code") =>
           // consecutive pre/code blocks fold into one fence (same rule
           // as C6 mono spans)
-          val lines = Vector.newBuilder[String]
+          out.startElement()
+          out.line("```")
           var j = i
           while (j < kept.length && kept(j).kind == BlockKind.Html &&
             (kept(j).lastTag == "pre" || kept(j).lastTag == "code")) {
-            lines += kept(j).text; j += 1
+            out.line(kept(j).text); j += 1
           }
-          out += ("```\n" + lines.result().mkString("\n") + "\n```")
+          out.line("```")
           i = j
 
         case html if html.kind == BlockKind.Html =>
-          out += htmlElement(html)
+          htmlElement(html, out)
           i += 1
 
         case _ =>
-          out += styled(b)
+          out.startElement()
+          out.line(styled(b))
           i += 1
       }
     }
     // terminate the final PDF page (unless already closed at the
     // PDF→non-PDF transition)
-    if (lastPdfPage >= 0 && !pdfClosed) out += "-----"
-    out.result()
+    if (lastPdfPage >= 0 && !pdfClosed) { out.startElement(); out.line("-----") }
   }
 
   private def isListItem(b: Block): Boolean =
@@ -161,30 +238,30 @@ object MarkdownEmitter {
     else t
   }
 
-  /** C4 — pipe table; cells arrive `|`-joined in the row's text. */
-  private def pipeTable(rows: Seq[Block]): String = {
-    val header = rows.head.text.split("\\|", -1).map(_.trim)
-    val sep = header.map(_ => "---").mkString("|", "|", "|")
-    val lines = Vector.newBuilder[String]
-    lines += header.mkString("|", "|", "|")
-    lines += sep
-    rows.tail.foreach { r =>
-      lines += r.text.split("\\|", -1).map(_.trim).mkString("|", "|", "|")
-    }
-    lines.result().mkString("\n")
+  /** C4 — pipe table; cells arrive `|`-joined in the row's text. The
+    * header row also emits the `|---|` separator sized to its cells.
+    */
+  private def pipeHeader(text: String, out: LineSink): Unit = {
+    val header = text.split("\\|", -1).map(_.trim)
+    out.line(header.mkString("|", "|", "|"))
+    out.line(header.map(_ => "---").mkString("|", "|", "|"))
   }
 
+  private def pipeRow(text: String, out: LineSink): Unit =
+    out.line(text.split("\\|", -1).map(_.trim).mkString("|", "|", "|"))
+
   /** C9 — HTML tag → markdown element (post boilerplate filter). */
-  private def htmlElement(b: Block): String = b.lastTag match {
-    case "h1" => "# " + b.text.trim
-    case "h2" => "## " + b.text.trim
-    case "h3" => "### " + b.text.trim
-    case "h4" => "#### " + b.text.trim
-    case "h5" => "##### " + b.text.trim
-    case "h6" => "###### " + b.text.trim
-    case "pre" | "code" => "```\n" + b.text + "\n```"
-    case "blockquote" => "> " + b.text.trim
-    case "li" => listLine(b.text)
-    case _ => b.text
+  private def htmlElement(b: Block, out: LineSink): Unit = b.lastTag match {
+    case "h1" => out.startElement(); out.line("# " + b.text.trim)
+    case "h2" => out.startElement(); out.line("## " + b.text.trim)
+    case "h3" => out.startElement(); out.line("### " + b.text.trim)
+    case "h4" => out.startElement(); out.line("#### " + b.text.trim)
+    case "h5" => out.startElement(); out.line("##### " + b.text.trim)
+    case "h6" => out.startElement(); out.line("###### " + b.text.trim)
+    case "pre" | "code" =>
+      out.startElement(); out.line("```"); out.line(b.text); out.line("```")
+    case "blockquote" => out.startElement(); out.line("> " + b.text.trim)
+    case "li" => out.startElement(); out.line(listLine(b.text))
+    case _ => out.startElement(); out.line(b.text)
   }
 }

@@ -23,15 +23,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  private val WordPattern = java.util.regex.Pattern.compile(Dedup.WordRegex)
-
-  private[text] def words(text: String): Array[String] = {
-    val m = WordPattern.matcher(text)
-    val out = Vector.newBuilder[String]
-    while (m.find()) out += m.group()
-    out.result().toArray
-  }
-
   private val Sha = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("SHA-256")
@@ -265,30 +256,93 @@ object TextKernels {
   /** 60-bit SimHash over word tokens — identical votes/threshold rule
     * as Dedup.simhashCol: bit b set iff Σ over word hashes of
     * ((h>>b)&1 ? +1 : −1) is positive.
+    *
+    * Byte-level one-pass like [[shingleHashes]]: word runs are found
+    * directly in the UTF-8 buffer (the `[A-Za-z0-9]+` class is pure
+    * ASCII, so byte runs coincide exactly with the regex's char runs).
+    * Distinct words are collected in an open-addressed table BUCKETED
+    * by a cheap byte hash but keyed by EXACT byte comparison (a bucket
+    * collision probes on — correctness never rides on the cheap hash);
+    * each distinct word is sha-digested once and votes once with
+    * weight = its occurrence count. Same values as the former
+    * String-word + per-occurrence-vote form (votes are commutative
+    * sums), without the word Strings, the boxed-Long memo map, or the
+    * 60-iteration vote loop per REPEATED occurrence — this kernel was
+    * the suite's one remaining GC-storm source under contended
+    * windows (dedup_keep_best stage run≫cpu).
     */
   def simhash(text: UTF8String): Long = {
-    val w = words(if (text == null) "" else text.toString)
+    val b = if (text == null) Array.emptyByteArray else text.getBytes
+    val maxWords = b.length / 2 + 1
+    val starts = new Array[Int](maxWords)
+    val ends = new Array[Int](maxWords)
+    val nw = wordRuns(b, starts, ends)
     val votes = new Array[Int](Dedup.SimBits)
-    // natural text repeats words heavily — memoize the sha256 per
-    // distinct word within the row (same value, fewer digests)
-    val memo = new java.util.HashMap[String, java.lang.Long]()
-    var i = 0
-    while (i < w.length) {
-      val h = memo.computeIfAbsent(w(i), s => hash60(s)).longValue()
-      var b = 0
-      while (b < Dedup.SimBits) {
-        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-        b += 1
+    if (nw > 0) {
+      // power-of-two capacity ≥ 2×words keeps the load factor ≤ 0.5
+      var cap = 4
+      while (cap < nw * 2) cap <<= 1
+      val slotWord = new Array[Int](cap) // 1-based run index; 0 = empty
+      val slotCount = new Array[Int](cap)
+      var w = 0
+      while (w < nw) {
+        val s = starts(w)
+        val e = ends(w)
+        // FNV-1a over the word bytes — bucket selection only
+        var h = 0x811c9dc5
+        var i = s
+        while (i < e) { h = (h ^ (b(i) & 0xff)) * 0x01000193; i += 1 }
+        var idx = h & (cap - 1)
+        var placed = false
+        while (!placed) {
+          val ref = slotWord(idx)
+          if (ref == 0) {
+            slotWord(idx) = w + 1
+            slotCount(idx) = 1
+            placed = true
+          } else if (sameRun(b, starts(ref - 1), ends(ref - 1), s, e)) {
+            slotCount(idx) += 1
+            placed = true
+          } else idx = (idx + 1) & (cap - 1)
+        }
+        w += 1
       }
-      i += 1
+      var idx = 0
+      while (idx < cap) {
+        val ref = slotWord(idx)
+        if (ref != 0) {
+          // sha over exactly the word's UTF-8 bytes = hash60(word)
+          val h = windowHash64(b, starts, ends, ref - 1, 1) >>> 4
+          val c = slotCount(idx)
+          var bit = 0
+          while (bit < Dedup.SimBits) {
+            votes(bit) += (if (((h >> bit) & 1L) == 1L) c else -c)
+            bit += 1
+          }
+        }
+        idx += 1
+      }
     }
     var out = 0L
-    var b = 0
-    while (b < Dedup.SimBits) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
+    var bit = 0
+    while (bit < Dedup.SimBits) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
     }
     out
+  }
+
+  /** exact byte equality of two word runs */
+  @inline private def sameRun(b: Array[Byte], s1: Int, e1: Int,
+      s2: Int, e2: Int): Boolean = {
+    if (e1 - s1 != e2 - s2) return false
+    var i = s1
+    var j = s2
+    while (i < e1) {
+      if (b(i) != b(j)) return false
+      i += 1; j += 1
+    }
+    true
   }
 
   /** Unicode NFC normalization — the pre-tokenization canonical form

@@ -34,6 +34,27 @@ class ExtractGoldenSpec extends AnyFunSuite {
     assert(turns > 500)
   }
 
+  test("fused emitNormalized equals normalizeJoin(emit(...)) on 100 seeded conversations") {
+    var turns = 0
+    (0L until 100L).foreach { convIdx =>
+      val (ts, _) = TranscriptGen.genConv(1042L, convIdx)
+      ts.foreach { t =>
+        val blocks = BlockParser.parse(t.text)
+        if (blocks.nonEmpty) {
+          turns += 1
+          val hm = Headers.identify(blocks)
+          val ordered = ReadingOrder.order(blocks)
+          val viaElements =
+            LintNormalize.normalizeJoin(MarkdownEmitter.emit(ordered, hm))
+          val fused = MarkdownEmitter.emitNormalized(ordered, hm)
+          assert(fused == viaElements,
+            s"fused/element divergence conv=${t.conv_id} turn=${t.turn_idx}")
+        }
+      }
+    }
+    assert(turns > 500)
+  }
+
   test("plain single-line text passes through as one paragraph") {
     assert(ExtractPipeline.extract("hello world") == "hello world\n")
   }
