@@ -16,7 +16,35 @@ package graft.extract
   */
 object Headers {
 
-  /** fontSize → heading level (1..6); sizes not in the map are body.
+  /** fontSize → heading level lookup for one turn. At most six header
+    * sizes exist by construction, so the mapping is two tiny parallel
+    * arrays probed linearly with doubleToLongBits equality — exactly
+    * the boxed `Double.equals` identity the former `Map[Double, Int]`
+    * used (NaN self-equal, -0.0 distinct from 0.0), without boxing a
+    * Double per lookup on the emitter's per-block hot path.
+    */
+  final class HeaderLevels private[Headers] (
+      private val bits: Array[Long], private val levels: Array[Int]) {
+    def level(b: Block): Int = {
+      if (b.kind != BlockKind.Pdf || b.isTableRow) return 0
+      val k = java.lang.Double.doubleToLongBits(b.fontSize)
+      var i = 0
+      while (i < bits.length) {
+        if (bits(i) == k) return levels(i)
+        i += 1
+      }
+      0
+    }
+    /** Map form (specs / golden comparisons) */
+    def toMap: Map[Double, Int] =
+      bits.indices.map(i =>
+        java.lang.Double.longBitsToDouble(bits(i)) -> levels(i)).toMap
+  }
+
+  private val EmptyLevels =
+    new HeaderLevels(Array.emptyLongArray, Array.emptyIntArray)
+
+  /** fontSize → heading level (1..6); sizes not mapped are body.
     *
     * Hot-path note: runs once per turn; a turn has a handful of
     * distinct sizes, so the histogram lives in two small parallel
@@ -25,7 +53,7 @@ object Headers {
     * doubleToLongBits equality — exactly the boxed `Double.equals` the
     * Map used (NaN self-equal, -0.0 distinct from 0.0).
     */
-  def identify(blocks: Seq[Block]): Map[Double, Int] = {
+  def identify(blocks: Seq[Block]): HeaderLevels = {
     // char-count histogram over PDF spans, table rows excluded
     // (find_tables regions are removed from the text flow before
     // header identification in pymupdf4llm)
@@ -56,7 +84,7 @@ object Headers {
         }
       }
     }
-    if (n == 0) return Map.empty
+    if (n == 0) return EmptyLevels
     // body = most frequent size; tie-break: smaller size (body text is
     // the smaller of two equally-frequent sizes in practice)
     var body = sizes(0)
@@ -72,16 +100,17 @@ object Headers {
       i += 1
     }
     val above = java.util.Arrays.copyOf(sizes, n).filter(_ > body)
-    if (above.isEmpty) return Map.empty
+    if (above.isEmpty) return EmptyLevels
     java.util.Arrays.sort(above)
     // descending rank → level, capped at 6
-    above.reverseIterator.zipWithIndex
-      .map { case (sz, idx) => sz -> math.min(idx + 1, 6) }
-      .toMap
+    val bits = new Array[Long](above.length)
+    val levels = new Array[Int](above.length)
+    i = 0
+    while (i < above.length) {
+      bits(i) = java.lang.Double.doubleToLongBits(above(above.length - 1 - i))
+      levels(i) = math.min(i + 1, 6)
+      i += 1
+    }
+    new HeaderLevels(bits, levels)
   }
-
-  def level(headerMap: Map[Double, Int], b: Block): Int =
-    if (b.kind == BlockKind.Pdf && !b.isTableRow)
-      headerMap.getOrElse(b.fontSize, 0)
-    else 0
 }

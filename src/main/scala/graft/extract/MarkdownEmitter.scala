@@ -107,7 +107,7 @@ object MarkdownEmitter {
   /** Emit markdown elements (each element = one or more lines) for
     * blocks already in reading order, with headers identified.
     */
-  def emit(blocks: Seq[Block], headerMap: Map[Double, Int]): Vector[String] = {
+  def emit(blocks: Seq[Block], headerMap: Headers.HeaderLevels): Vector[String] = {
     val sink = new ElementSink
     emitTo(blocks, headerMap, sink)
     sink.result()
@@ -117,13 +117,13 @@ object MarkdownEmitter {
     * `LintNormalize.normalizeJoin(emit(blocks, headerMap))` with one
     * output buffer and no per-element strings.
     */
-  def emitNormalized(blocks: Seq[Block], headerMap: Map[Double, Int]): String = {
+  def emitNormalized(blocks: Seq[Block], headerMap: Headers.HeaderLevels): String = {
     val st = new LintNormalize.State(new java.lang.StringBuilder(256))
     emitTo(blocks, headerMap, new LintSink(st))
     st.finish()
   }
 
-  private def emitTo(blocks: Seq[Block], headerMap: Map[Double, Int],
+  private def emitTo(blocks: Seq[Block], headerMap: Headers.HeaderLevels,
       out: LineSink): Unit = {
     val kept = blocks.filterNot(Boilerplate.isBoilerplate)
     var i = 0
@@ -167,16 +167,16 @@ object MarkdownEmitter {
           out.line("```")
           i = j
 
-        case h if Headers.level(headerMap, h) > 0 =>
+        case h if headerMap.level(h) > 0 =>
           out.startElement()
-          out.line("#" * Headers.level(headerMap, h) + " " + h.text.trim)
+          out.line("#" * headerMap.level(h) + " " + h.text.trim)
           i += 1
 
         case _ if isListItem(b) =>
           out.startElement()
           var j = i
           while (j < kept.length && sameFlow(kept(j), b) && isListItem(kept(j)) &&
-            Headers.level(headerMap, kept(j)) == 0) {
+            headerMap.level(kept(j)) == 0) {
             out.line(listLine(kept(j).text)); j += 1
           }
           i = j

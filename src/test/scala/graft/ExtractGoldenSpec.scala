@@ -120,7 +120,7 @@ class ExtractGoldenSpec extends AnyFunSuite {
       Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 18.0, 0, "", 0, "t1", 1),
       Block(BlockKind.Pdf, 0, 0, 0, 0, 0, 14.0, 0, "", 0, "t2", 2))
     val m = Headers.identify(blocks)
-    assert(m == Map(18.0 -> 1, 14.0 -> 2))
+    assert(m.toMap == Map(18.0 -> 1, 14.0 -> 2))
   }
 
   test("reading order: two columns read left column first") {
