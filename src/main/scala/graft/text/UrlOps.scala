@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle replays them verbatim.
   *
   * Scale notes (100 TB): extraction is a map-side projection +
-  * generator; the census is one hash aggregate on the host (map-side
-  * combine — a hot domain partially aggregates before the exchange).
+  * generator; the census's `count_distinct(doc_id)` plans the
+  * standard two-phase distinct — partial aggregation on (host,
+  * doc_id), exchange, then the per-host count over another exchange —
+  * two exchanges, both combine-friendly (a hot domain's duplicate
+  * (host, doc_id) pairs collapse before the first exchange).
   * Blocklist filtering never moves document text: the exploded
   * (doc_id, host) frame semi-joins the (small, broadcast) blocklist,
   * and the resulting hit-id set — bounded by the blocked fraction —
