@@ -27,7 +27,14 @@ object Dedup {
 
   val WordRegex = "[A-Za-z0-9]+"
 
-  def wordsCol(text: Column): Column =
+  /** word tokens — native byte-run kernel; identical values to
+    * [[wordsColHof]] (the regex form it replaced, kept as the
+    * spec cross-check)
+    */
+  def wordsCol(text: Column): Column = TextExprs.asciiWords(text)
+
+  /** the same tokens via regexp_extract_all — readable spec form */
+  def wordsColHof(text: Column): Column =
     regexp_extract_all(text, lit(WordRegex), lit(0))
 
   /** rebalance to full parallelism before a compute-heavy projection —

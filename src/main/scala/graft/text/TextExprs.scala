@@ -345,6 +345,29 @@ object TextKernels {
     true
   }
 
+  /** The word tokens of a text — identical values to
+    * `regexp_extract_all(text, '[A-Za-z0-9]+', 0)` (Dedup.WordRegex):
+    * the word class is pure ASCII, so maximal ASCII-alnum byte runs
+    * coincide exactly with the regex's char runs and each word's
+    * bytes ARE its UTF-8 encoding (see [[wordRuns]]). One buffer
+    * fetch, then zero-copy UTF8String views per word — no regex
+    * machinery, no per-match char decoding.
+    */
+  def asciiWords(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val maxWords = b.length / 2 + 1
+    val starts = new Array[Int](maxWords)
+    val ends = new Array[Int](maxWords)
+    val nw = wordRuns(b, starts, ends)
+    val out = new Array[AnyRef](nw)
+    var i = 0
+    while (i < nw) {
+      out(i) = UTF8String.fromBytes(b, starts(i), ends(i) - starts(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Unicode NFC normalization — the pre-tokenization canonical form
     * (é as one codepoint and e + combining acute must tokenize, hash,
     * and dedup identically). JDK Normalizer computes the same Unicode
@@ -468,6 +491,31 @@ case class MinHashSig(
       : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }
 
+/** text → array of `[A-Za-z0-9]+` word tokens (native byte-run twin
+  * of regexp_extract_all over Dedup.WordRegex; value-identity
+  * spec-asserted against the regex form).
+  */
+case class AsciiWords(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireString(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.asciiWords(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.text.TextKernels$$.MODULE$$.asciiWords($a)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
 /** text → Unicode-NFC text (native; no-copy fast path for already-
   * normalized input).
   */
@@ -539,4 +587,7 @@ object TextExprs {
 
   def nfcNormalize(text: Column): Column =
     toColumn(NfcNormalize(toExpression(text)))
+
+  def asciiWords(text: Column): Column =
+    toColumn(AsciiWords(toExpression(text)))
 }

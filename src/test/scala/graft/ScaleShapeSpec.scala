@@ -224,7 +224,10 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("native shingle/simhash kernels equal the HOF Column forms") {
     import spark.implicits._
     val texts = Seq("", "one two", "alpha beta gamma delta", "x y z x y z x y z",
-      "AT+CFUN=1, set; the quick brown fox. jumps over 42 lazy dogs")
+      "AT+CFUN=1, set; the quick brown fox. jumps over 42 lazy dogs",
+      // multi-byte chars: byte-run words must split exactly where the
+      // ASCII regex does (ï/é/CJK are run boundaries, not word chars)
+      "naïve café touché 日本語42mix déjà-vu")
     val rows = texts.toDF("text").select(
       graft.text.TextExprs.shingleHashes(col("text"), distinct = false).as("n_all"),
       transform(Dedup.shinglesCol(col("text")), s => Dedup.shingleHash(s)).as("h_all"),
@@ -234,13 +237,16 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.text.TextExprs.simhash(col("text")).as("n_sim"),
       Dedup.simhashColHof(col("text")).as("h_sim"),
       graft.text.TextExprs.minhashSig(col("text")).as("n_mh"),
-      Dedup.signatureCol(col("text")).as("h_mh")).collect()
+      Dedup.signatureCol(col("text")).as("h_mh"),
+      Dedup.wordsCol(col("text")).as("n_words"),
+      Dedup.wordsColHof(col("text")).as("h_words")).collect()
     texts.zip(rows).foreach { case (t, r) =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"all-shingles: '$t'")
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"distinct-shingles: '$t'")
       assert(r.getLong(4) == r.getLong(5), s"simhash: '$t'")
       if (r.isNullAt(7)) assert(r.getSeq[Long](6).isEmpty, s"minhash short: '$t'")
       else assert(r.getSeq[Long](6) == r.getSeq[Long](7), s"minhash: '$t'")
+      assert(r.getSeq[String](8) == r.getSeq[String](9), s"words: '$t'")
     }
   }
 
