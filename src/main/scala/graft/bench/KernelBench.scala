@@ -43,5 +43,8 @@ object KernelBench {
     timeIdx("order", 3)(i => ReadingOrder.order(parsed(i)))
     timeIdx("emit", 3)(i => MarkdownEmitter.emit(ordered(i), headerMaps(i)))
     timeIdx("lint-join", 3)(i => LintNormalize.normalizeJoin(emitted(i)))
+    // the pipeline's real path: fused emit + lint + join in one pass
+    timeIdx("emit-norm fused", 3)(i =>
+      MarkdownEmitter.emitNormalized(ordered(i), headerMaps(i)))
   }
 }

@@ -59,21 +59,38 @@ object BlockParser {
   private def plain(text: String, seq: Int): Block =
     Block(BlockKind.Plain, 0, 0, 0, 0, 0, 0.0, 0, "", 0, text, seq)
 
+  // field scans are BOUNDED manual loops, never String.indexOf with a
+  // post-check: indexOf has no end bound (pre-JDK-21), so a missing
+  // separator would scan to the END OF THE PAYLOAD — O(payload) per
+  // 'P'-prefixed tab-free line, O(n²) on adversarial plain prose
+
   @inline private def hasTab(s: String, from: Int, to: Int): Boolean = {
-    val i = s.indexOf('\t', from)
-    i >= 0 && i < to
+    var i = from
+    while (i < to) {
+      if (s.charAt(i) == '\t') return true
+      i += 1
+    }
+    false
   }
 
   /** next field boundary within [from,to); -1 when missing */
   @inline private def tab(s: String, from: Int, to: Int): Int = {
-    val i = s.indexOf('\t', from)
-    if (i >= 0 && i < to) i else -1
+    var i = from
+    while (i < to) {
+      if (s.charAt(i) == '\t') return i
+      i += 1
+    }
+    -1
   }
 
   /** next ',' within [from,to); -1 when missing */
   @inline private def comma(s: String, from: Int, to: Int): Int = {
-    val i = s.indexOf(',', from)
-    if (i >= 0 && i < to) i else -1
+    var i = from
+    while (i < to) {
+      if (s.charAt(i) == ',') return i
+      i += 1
+    }
+    -1
   }
 
   private val Pow10: Array[Double] =

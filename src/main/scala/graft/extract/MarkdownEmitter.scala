@@ -27,8 +27,9 @@ package graft.extract
   * into LintNormalize's state machine — the per-element strings, the
   * `\n\n` join and the re-split the normalizer then did were one extra
   * copy of the whole document on the kernel's hottest path. Equality
-  * of the two forms is property-pinned (ChunkerPropertySpec) and the
-  * golden per-turn gate runs over the fused path.
+  * of the two forms is property-pinned (ExtractGoldenSpec's
+  * fused-vs-element test) and the golden per-turn gate runs over the
+  * fused path.
   */
 object MarkdownEmitter {
 

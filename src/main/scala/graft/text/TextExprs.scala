@@ -152,6 +152,22 @@ object TextKernels {
     count
   }
 
+  /** the byte-run kernels' shared tokenization preamble: UTF-8 bytes
+    * (null → empty), word-run bounds and count — one definition so
+    * the sizing invariant (worst case one word per 2 bytes) cannot
+    * drift between kernels
+    */
+  private final class Runs(val b: Array[Byte], val starts: Array[Int],
+      val ends: Array[Int], val n: Int)
+
+  private def wordRunsOf(text: UTF8String): Runs = {
+    val b = if (text == null) Array.emptyByteArray else text.getBytes
+    val maxWords = b.length / 2 + 1
+    val starts = new Array[Int](maxWords)
+    val ends = new Array[Int](maxWords)
+    new Runs(b, starts, ends, wordRuns(b, starts, ends))
+  }
+
   /** sha256-derived 64-bit value of the window's "w1 w2 … wn" UTF-8
     * bytes, streamed word-by-word into the digest (no shingle string
     * or buffer is ever built); >>> 4 of this value is [[hash60]] of
@@ -188,12 +204,11 @@ object TextKernels {
     * n words.
     */
   def shingleHashes(text: UTF8String, distinct: Boolean, n: Int = 3): ArrayData = {
-    val b = if (text == null) Array.emptyByteArray else text.getBytes
-    // worst case one word per 2 bytes ("a b a b")
-    val maxWords = b.length / 2 + 1
-    val starts = new Array[Int](maxWords)
-    val ends = new Array[Int](maxWords)
-    val nw = wordRuns(b, starts, ends)
+    val r = wordRunsOf(text)
+    val b = r.b
+    val starts = r.starts
+    val ends = r.ends
+    val nw = r.n
     if (nw < n) return ArrayData.toArrayData(Array.emptyLongArray)
     val count = nw - n + 1
     val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
@@ -220,11 +235,11 @@ object TextKernels {
     * [[shingleHashes]]). Empty array below 3 words (no shingles).
     */
   def minhashSig(text: UTF8String): ArrayData = {
-    val b = if (text == null) Array.emptyByteArray else text.getBytes
-    val maxWords = b.length / 2 + 1
-    val starts = new Array[Int](maxWords)
-    val ends = new Array[Int](maxWords)
-    val nw = wordRuns(b, starts, ends)
+    val r = wordRunsOf(text)
+    val b = r.b
+    val starts = r.starts
+    val ends = r.ends
+    val nw = r.n
     if (nw < 3) return ArrayData.toArrayData(Array.emptyLongArray)
     val k = Dedup.NumHashes
     val seeds = Dedup.Seeds.toArray
@@ -272,16 +287,23 @@ object TextKernels {
     * windows (dedup_keep_best stage run≫cpu).
     */
   def simhash(text: UTF8String): Long = {
-    val b = if (text == null) Array.emptyByteArray else text.getBytes
-    val maxWords = b.length / 2 + 1
-    val starts = new Array[Int](maxWords)
-    val ends = new Array[Int](maxWords)
-    val nw = wordRuns(b, starts, ends)
+    val r = wordRunsOf(text)
+    val b = r.b
+    val starts = r.starts
+    val ends = r.ends
+    val nw = r.n
     val votes = new Array[Int](Dedup.SimBits)
     if (nw > 0) {
-      // power-of-two capacity ≥ 2×words keeps the load factor ≤ 0.5
-      var cap = 4
-      while (cap < nw * 2) cap <<= 1
+      // power-of-two capacity ≥ 2×words keeps the load factor ≤ 0.5.
+      // Long arithmetic + 2^30 clamp: nw can reach 2^30 (one word per
+      // 2 bytes of a max-size UTF8String), where an Int `nw * 2`
+      // overflows and the shift loop never terminates. At the clamp
+      // the table still cannot fill: 2^30 DISTINCT words need > 2^31
+      // input bytes (only 62 one-byte words exist), so an empty slot
+      // always remains for the probe loop.
+      var capL = 4L
+      while (capL < nw.toLong * 2 && capL < (1L << 30)) capL <<= 1
+      val cap = capL.toInt
       val slotWord = new Array[Int](cap) // 1-based run index; 0 = empty
       val slotCount = new Array[Int](cap)
       var w = 0
@@ -354,15 +376,11 @@ object TextKernels {
     * machinery, no per-match char decoding.
     */
   def asciiWords(text: UTF8String): ArrayData = {
-    val b = text.getBytes
-    val maxWords = b.length / 2 + 1
-    val starts = new Array[Int](maxWords)
-    val ends = new Array[Int](maxWords)
-    val nw = wordRuns(b, starts, ends)
-    val out = new Array[AnyRef](nw)
+    val r = wordRunsOf(text) // null-total like the sibling kernels
+    val out = new Array[AnyRef](r.n)
     var i = 0
-    while (i < nw) {
-      out(i) = UTF8String.fromBytes(b, starts(i), ends(i) - starts(i))
+    while (i < r.n) {
+      out(i) = UTF8String.fromBytes(r.b, r.starts(i), r.ends(i) - r.starts(i))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -55,6 +55,19 @@ class ExtractGoldenSpec extends AnyFunSuite {
     assert(turns > 500)
   }
 
+  test("'P'-prefixed prose without tabs stays Plain (bounded field scans)") {
+    // regression guard for the in-place parser: a tab-free line
+    // starting with 'P' must degrade to Plain without scanning beyond
+    // its own end (the unbounded-indexOf form was O(payload) per line)
+    val payload = "Please note there are no tabs here\n" +
+      "P6 looks like a header but is prose\n" +
+      "P0\t1,2,3,4\t10\t0\treal pdf line"
+    val blocks = BlockParser.parse(payload)
+    assert(blocks.map(_.kind) ==
+      Vector(BlockKind.Plain, BlockKind.Plain, BlockKind.Pdf))
+    assert(blocks(0).text == "Please note there are no tabs here")
+  }
+
   test("plain single-line text passes through as one paragraph") {
     assert(ExtractPipeline.extract("hello world") == "hello world\n")
   }
